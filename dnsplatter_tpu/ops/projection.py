@@ -1,0 +1,149 @@
+"""EWA projection of 3D Gaussians to screen space (pure JAX, differentiable).
+
+Implements the same math as gsplat's `fully_fused_projection` (the first
+stage of `gsplat.rendering.rasterization`, called at
+dn_splatter/dn_model.py:495-516): world->camera transform, 3D covariance
+from quat/scale, perspective Jacobian with frustum-clamped tangents, 2D
+covariance with the +0.3 px low-pass blur, conic inversion, 3-sigma radius,
+and the antialiasing opacity compensation.
+
+Everything is elementwise over N Gaussians — XLA maps it straight onto the
+VPU; no kernel needed. Gradients come from JAX autodiff (the projection is
+a tiny fraction of the FLOPs; the hot path is the rasterizer).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dnsplatter_tpu.ops.quat import quat_to_rotmat
+
+
+class Projected(NamedTuple):
+    """Screen-space Gaussians.
+
+    means2d: (N, 2) pixel coordinates of the projected centers.
+    depths: (N,) camera-frame z-depth.
+    conics: (N, 3) upper-triangular inverse 2D covariance (a, b, c) such
+        that sigma(d) = 0.5*(a*dx^2 + c*dy^2) + b*dx*dy.
+    radii: (N,) integer-valued 3-sigma screen radius (0 => culled).
+    compensations: (N,) antialiasing opacity scale sqrt(det/det_blurred).
+    valid: (N,) bool — inside the frustum and numerically sound.
+    """
+
+    means2d: jax.Array
+    depths: jax.Array
+    conics: jax.Array
+    radii: jax.Array
+    compensations: jax.Array
+    valid: jax.Array
+
+
+def quat_scale_to_covar(quats: jax.Array, scales: jax.Array) -> jax.Array:
+    """(N, 3, 3) world covariance = R diag(s^2) R^T from wxyz quats and
+    linear (already exp'ed) scales."""
+    rot = quat_to_rotmat(quats)  # (N, 3, 3)
+    m = rot * scales[..., None, :]  # R @ diag(s)
+    return m @ jnp.swapaxes(m, -1, -2)
+
+
+def project_gaussians(
+    means: jax.Array,
+    quats: jax.Array,
+    scales: jax.Array,
+    viewmat: jax.Array,
+    fx,
+    fy,
+    cx,
+    cy,
+    width: int,
+    height: int,
+    eps2d: float = 0.3,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+) -> Projected:
+    """Project N world-space Gaussians into one camera (OpenCV viewmat).
+
+    Mirrors gsplat's fused projection semantics:
+      * camera-space means `t = R_wc x + t_wc`; cull outside (near, far);
+      * perspective Jacobian evaluated at tangent-clamped (tx/tz, ty/tz)
+        with limits 1.3 * tan(fov/2) to stabilize off-screen Gaussians;
+      * cov2d = J W cov3d W^T J^T + eps2d * I;
+      * compensation = sqrt(det(cov2d - eps2d I) / det(cov2d));
+      * radius = ceil(3 * sqrt(max eigenvalue)); cull radius<=radius_clip
+        and centers whose bounding box misses the image entirely.
+    """
+    rot_wc = viewmat[:3, :3]
+    t_wc = viewmat[:3, 3]
+    mean_c = means @ rot_wc.T + t_wc  # (N, 3)
+    tz = mean_c[..., 2]
+
+    covar = quat_scale_to_covar(quats, scales)  # (N, 3, 3)
+    covar_c = jnp.einsum("ij,njk,lk->nil", rot_wc, covar, rot_wc)
+
+    tz_safe = jnp.where(jnp.abs(tz) < 1e-8, 1e-8, tz)
+    tan_fovx = 0.5 * width / fx
+    tan_fovy = 0.5 * height / fy
+    lim_x = 1.3 * tan_fovx
+    lim_y = 1.3 * tan_fovy
+    txz = jnp.clip(mean_c[..., 0] / tz_safe, -lim_x, lim_x) * tz_safe
+    tyz = jnp.clip(mean_c[..., 1] / tz_safe, -lim_y, lim_y) * tz_safe
+
+    rz = 1.0 / tz_safe
+    rz2 = rz * rz
+    # J rows: [fx/tz, 0, -fx*tx/tz^2], [0, fy/tz, -fy*ty/tz^2]
+    j00 = fx * rz
+    j02 = -fx * txz * rz2
+    j11 = fy * rz
+    j12 = -fy * tyz * rz2
+
+    c00, c01, c02 = covar_c[..., 0, 0], covar_c[..., 0, 1], covar_c[..., 0, 2]
+    c11, c12, c22 = covar_c[..., 1, 1], covar_c[..., 1, 2], covar_c[..., 2, 2]
+
+    # cov2d = J Sigma J^T, expanded by hand (keeps it on the VPU, no 3x3
+    # batched matmuls for a 2x2 result).
+    a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22)
+    b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
+    c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22)
+
+    det_orig = a * c - b * b
+    a_b = a + eps2d
+    c_b = c + eps2d
+    det = a_b * c_b - b * b
+    det_safe = jnp.where(det <= 0.0, 1e-12, det)
+    compensations = jnp.sqrt(jnp.maximum(det_orig / det_safe, 0.0))
+
+    conic = jnp.stack([c_b / det_safe, -b / det_safe, a_b / det_safe], axis=-1)
+
+    mid = 0.5 * (a_b + c_b)
+    disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
+    vmax = mid + disc
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(vmax, 0.0)))
+
+    mean2d = jnp.stack(
+        [fx * mean_c[..., 0] * rz + cx, fy * mean_c[..., 1] * rz + cy], axis=-1
+    )
+
+    inside_depth = (tz > near_plane) & (tz < far_plane)
+    pos_det = det > 0.0
+    on_image = (
+        (mean2d[..., 0] + radius > 0)
+        & (mean2d[..., 0] - radius < width)
+        & (mean2d[..., 1] + radius > 0)
+        & (mean2d[..., 1] - radius < height)
+    )
+    valid = inside_depth & pos_det & (radius > radius_clip) & on_image
+    radii = jnp.where(valid, radius, 0.0)
+
+    return Projected(
+        means2d=mean2d,
+        depths=tz,
+        conics=conic,
+        radii=radii,
+        compensations=compensations,
+        valid=valid,
+    )

@@ -1,0 +1,151 @@
+"""Quaternion / rotation utilities (pure JAX, fully vectorized).
+
+Provides the rotation math the model layer needs: wxyz quaternion to
+rotation matrix, robust matrix->quaternion, uniform random quaternions,
+and minimal-rotation alignment of one vector to another (Rodrigues).
+
+Behavioral parity targets (reference, studied not copied):
+  - gsplat `quat_to_rotmat` (used at dn_splatter/dn_model.py:34,547)
+  - dn_splatter/dn_model.py:1497 `random_quat_tensor`
+  - dn_splatter/dn_model.py:1520 `rotate_vector_to_vector`
+  - dn_splatter/dn_model.py:1554 `matrix_to_quaternion`
+
+Quaternions are (w, x, y, z) throughout, matching the reference stack.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quat_normalize(quat: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Normalize quaternions to unit length. quat: (..., 4)."""
+    return quat / jnp.maximum(jnp.linalg.norm(quat, axis=-1, keepdims=True), eps)
+
+
+def quat_to_rotmat(quat: jax.Array) -> jax.Array:
+    """Convert (..., 4) wxyz quaternions to (..., 3, 3) rotation matrices.
+
+    Input is normalized internally (the reference normalizes before every
+    use, e.g. dn_model.py:497).
+    """
+    quat = quat_normalize(quat)
+    w, x, y, z = quat[..., 0], quat[..., 1], quat[..., 2], quat[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    rot = jnp.stack(
+        [
+            1.0 - 2.0 * (yy + zz),
+            2.0 * (xy - wz),
+            2.0 * (xz + wy),
+            2.0 * (xy + wz),
+            1.0 - 2.0 * (xx + zz),
+            2.0 * (yz - wx),
+            2.0 * (xz - wy),
+            2.0 * (yz + wx),
+            1.0 - 2.0 * (xx + yy),
+        ],
+        axis=-1,
+    )
+    return rot.reshape(quat.shape[:-1] + (3, 3))
+
+
+def rotmat_to_quat(mat: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Convert (..., 3, 3) rotation matrices to (..., 4) wxyz quaternions.
+
+    Branch-free: computes all four candidate quaternions (one per largest
+    diagonal pivot) and selects the numerically safest — XLA-friendly
+    (no data-dependent control flow).
+    """
+    m00, m01, m02 = mat[..., 0, 0], mat[..., 0, 1], mat[..., 0, 2]
+    m10, m11, m12 = mat[..., 1, 0], mat[..., 1, 1], mat[..., 1, 2]
+    m20, m21, m22 = mat[..., 2, 0], mat[..., 2, 1], mat[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    # Four candidate (unnormalized) quaternions, each stable in a regime.
+    qw = jnp.stack([1.0 + tr, m21 - m12, m02 - m20, m10 - m01], axis=-1)
+    qx = jnp.stack([m21 - m12, 1.0 + m00 - m11 - m22, m01 + m10, m02 + m20], axis=-1)
+    qy = jnp.stack([m02 - m20, m01 + m10, 1.0 - m00 + m11 - m22, m12 + m21], axis=-1)
+    qz = jnp.stack([m10 - m01, m02 + m20, m12 + m21, 1.0 - m00 - m11 + m22], axis=-1)
+
+    # Squared 2|q| of each candidate's pivot component.
+    tw = 1.0 + tr
+    tx = 1.0 + m00 - m11 - m22
+    ty = 1.0 - m00 + m11 - m22
+    tz = 1.0 - m00 - m11 + m22
+    pivots = jnp.stack([tw, tx, ty, tz], axis=-1)
+    best = jnp.argmax(pivots, axis=-1)
+
+    cands = jnp.stack([qw, qx, qy, qz], axis=-2)  # (..., 4 candidates, 4)
+    q = jnp.take_along_axis(cands, best[..., None, None].repeat(4, -1), axis=-2)[
+        ..., 0, :
+    ]
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+    # Canonical sign: w >= 0.
+    return q * jnp.where(q[..., :1] < 0.0, -1.0, 1.0)
+
+
+def random_quats(key: jax.Array, n: int) -> jax.Array:
+    """(n, 4) uniformly distributed unit quaternions (Shoemake's method).
+
+    Parity: dn_splatter/dn_model.py:1497-1518 `random_quat_tensor`.
+    """
+    u, v, w = jax.random.uniform(key, (3, n))
+    a = jnp.sqrt(1.0 - u)
+    b = jnp.sqrt(u)
+    return jnp.stack(
+        [
+            a * jnp.sin(2.0 * jnp.pi * v),
+            a * jnp.cos(2.0 * jnp.pi * v),
+            b * jnp.sin(2.0 * jnp.pi * w),
+            b * jnp.cos(2.0 * jnp.pi * w),
+        ],
+        axis=-1,
+    )
+
+
+def rotate_vector_to_vector(v1: jax.Array, v2: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Minimal rotation matrices carrying each v1 onto v2 (Rodrigues).
+
+    v1, v2: (N, 3) (need not be unit length). Returns (N, 3, 3).
+    Parity: dn_splatter/dn_model.py:1520-1551. Handles the antiparallel
+    case by rotating 180 deg about any axis orthogonal to v1.
+    """
+    a = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), eps)
+    b = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), eps)
+    v = jnp.cross(a, b)
+    c = jnp.sum(a * b, axis=-1)  # cos(theta)
+    s = jnp.linalg.norm(v, axis=-1)  # sin(theta)
+
+    zeros = jnp.zeros_like(c)
+    kmat = jnp.stack(
+        [
+            zeros, -v[..., 2], v[..., 1],
+            v[..., 2], zeros, -v[..., 0],
+            -v[..., 1], v[..., 0], zeros,
+        ],
+        axis=-1,
+    ).reshape(v.shape[:-1] + (3, 3))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=v1.dtype), kmat.shape)
+    factor = (1.0 - c) / jnp.maximum(s * s, eps)
+    rot = eye + kmat + (kmat @ kmat) * factor[..., None, None]
+
+    # Antiparallel: rotate pi about an axis orthogonal to a.
+    ortho = jnp.where(
+        (jnp.abs(a[..., :1]) < 0.9),
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype=v1.dtype), a.shape),
+        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], dtype=v1.dtype), a.shape),
+    )
+    axis = jnp.cross(a, ortho)
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), eps)
+    # R_pi = 2 * axis axis^T - I
+    flip = 2.0 * axis[..., :, None] * axis[..., None, :] - eye
+    antiparallel = c < (-1.0 + 1e-6)
+    return jnp.where(antiparallel[..., None, None], flip, rot)
+
+
+def quat_invert(quat: jax.Array) -> jax.Array:
+    """Conjugate of unit quaternions: (w, -x, -y, -z)."""
+    return quat * jnp.array([1.0, -1.0, -1.0, -1.0], dtype=quat.dtype)

@@ -1,0 +1,542 @@
+"""Production tiled rasterizer (TPU-first, pure JAX + custom VJP).
+
+This is the framework's equivalent of gsplat's CUDA `isect_tiles` /
+`isect_offset_encode` / `rasterize_to_pixels` fwd+bwd stack (consumed by the
+reference at dn_splatter/dn_model.py:495-516, 564-575) — re-designed for the
+TPU execution model instead of translated:
+
+  * No per-pixel thread divergence / early `break`: pixels are processed in
+    16x16 tiles as dense (P=tile^2, K=chunk) blocks. Transmittance is
+    computed with an exclusive cumprod along the chunk axis (VPU), and the
+    feature accumulation `W @ F` is a (P, K) @ (K, F) matmul (MXU).
+  * No dynamic shapes: the (tile, gaussian) intersection list is built with
+    a static `pair_capacity` via `jnp.repeat(..., total_repeat_length)`,
+    one stable sort by tile id, and `searchsorted` tile offsets. Overflow
+    drops the *deepest* pairs (gaussians are globally depth-sorted first),
+    which degrades gracefully.
+  * The backward pass is a hand-derived back-to-front replay (same math as
+    gsplat's CUDA backward): transmittance is re-materialized from the
+    saved per-pixel final transmittance T_final by dividing out (1-alpha),
+    and the per-pixel `last contributing index` saved in the forward pass
+    reconstructs the exact early-termination decisions. Per-Gaussian
+    gradients are scatter-added per chunk.
+  * `absgrad` (gsplat's absolute screen-space gradient used for
+    densification, dn_model.py:506 `absgrad=True`) is exposed through a
+    zero "sink" input whose VJP output is the absolute per-tile means2d
+    gradient accumulation.
+
+Semantics match `rasterize_pixels_ref` (the oracle) exactly:
+  alpha = min(0.999, opacity * exp(-sigma)), skip if alpha < 1/255 or
+  sigma < 0; a pixel terminates when the would-be next transmittance
+  drops to <= 1e-4 (the tripping Gaussian is NOT composited).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+ALPHA_THRESHOLD = 1.0 / 255.0
+MAX_ALPHA = 0.999
+TRANSMITTANCE_EPS = 1e-4
+
+
+class RasterizeConfig(NamedTuple):
+    """Static rasterizer configuration (hashable -> usable as a nondiff arg).
+
+    Attributes:
+        width, height: image size in pixels.
+        tile_size: square pixel tile edge (16 matches the reference's
+            gsplat call, dn_model.py:470-471; P = tile_size**2).
+        chunk: Gaussians composited per block step (K). Lane-friendly
+            sizes (64/128) keep the (P, K) work dense on the VPU/MXU.
+        tile_block: tiles processed together per scan step (TB).
+        pair_capacity: static capacity C of the (tile, gaussian)
+            intersection list. Pairs beyond capacity (deepest first) drop.
+    """
+
+    width: int
+    height: int
+    tile_size: int = 16
+    chunk: int = 64
+    tile_block: int = 32
+    pair_capacity: int = 1 << 20
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile_size)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile_size)
+
+    @property
+    def n_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def n_blocks(self) -> int:
+        return -(-self.n_tiles // self.tile_block)
+
+    @property
+    def n_tiles_padded(self) -> int:
+        return self.n_blocks * self.tile_block
+
+
+class _Binned(NamedTuple):
+    """Depth-sorted Gaussians + tile intersection structure (all static)."""
+
+    order: jax.Array  # (N,) depth sort permutation: sorted[i] = orig[order[i]]
+    pair_gauss: jax.Array  # (C,) index into depth-sorted arrays per pair
+    pair_valid: jax.Array  # (C,) bool
+    tile_starts: jax.Array  # (T_padded + 1,) pair-range boundaries per tile
+    total_pairs: jax.Array  # () int32 — may exceed C (overflow diagnostic)
+
+
+def _exclusive_cumprod(x: jax.Array, axis: int) -> jax.Array:
+    cp = jnp.cumprod(x, axis=axis)
+    one = jnp.ones_like(jax.lax.slice_in_dim(cp, 0, 1, axis=axis))
+    return jnp.concatenate(
+        [one, jax.lax.slice_in_dim(cp, 0, x.shape[axis] - 1, axis=axis)], axis=axis
+    )
+
+
+def bin_gaussians(
+    cfg: RasterizeConfig,
+    means2d: jax.Array,
+    depths: jax.Array,
+    radii: jax.Array,
+    validf: jax.Array,
+) -> _Binned:
+    """Global depth sort + tile-intersection pair list (gsplat isect_tiles).
+
+    Static-shape construction: per-Gaussian tile bbox -> counts -> exclusive
+    cumsum offsets -> `repeat(total_repeat_length=C)` expansion -> stable
+    sort by tile id (stability preserves depth order within a tile because
+    Gaussians were depth-sorted first) -> searchsorted per-tile ranges.
+    """
+    n = means2d.shape[0]
+    ts = cfg.tile_size
+    valid = validf > 0.5
+
+    order = jnp.argsort(jnp.where(valid, depths, jnp.inf))
+    m2d_s = means2d[order]
+    rad_s = radii[order]
+    valid_s = valid[order]
+
+    x0 = jnp.clip(
+        jnp.floor((m2d_s[:, 0] - rad_s) / ts).astype(jnp.int32), 0, cfg.tiles_x
+    )
+    x1 = jnp.clip(
+        jnp.floor((m2d_s[:, 0] + rad_s) / ts).astype(jnp.int32) + 1, 0, cfg.tiles_x
+    )
+    y0 = jnp.clip(
+        jnp.floor((m2d_s[:, 1] - rad_s) / ts).astype(jnp.int32), 0, cfg.tiles_y
+    )
+    y1 = jnp.clip(
+        jnp.floor((m2d_s[:, 1] + rad_s) / ts).astype(jnp.int32) + 1, 0, cfg.tiles_y
+    )
+    w = jnp.maximum(x1 - x0, 0)
+    h = jnp.maximum(y1 - y0, 0)
+    counts = jnp.where(valid_s, w * h, 0).astype(jnp.int32)
+    offsets = jnp.cumsum(counts) - counts
+    total = offsets[-1] + counts[-1] if n > 0 else jnp.zeros((), jnp.int32)
+
+    c = cfg.pair_capacity
+    pair_gauss = jnp.repeat(
+        jnp.arange(n, dtype=jnp.int32), counts, total_repeat_length=c
+    )
+    pos = jnp.arange(c, dtype=jnp.int32)
+    pair_valid = pos < total
+    rank = pos - offsets[pair_gauss]
+    wg = jnp.maximum(w[pair_gauss], 1)
+    tile_x = x0[pair_gauss] + rank % wg
+    tile_y = y0[pair_gauss] + rank // wg
+    tile_id = tile_y * cfg.tiles_x + tile_x
+    # Sentinel beyond every real AND padded tile so searchsorted boundaries
+    # never attribute invalid pairs to a processed tile.
+    tile_id = jnp.where(pair_valid, tile_id, cfg.n_tiles_padded)
+
+    perm = jnp.argsort(tile_id, stable=True)
+    tile_id_sorted = tile_id[perm]
+    pair_gauss = pair_gauss[perm]
+    pair_valid = pair_valid[perm]
+
+    boundaries = jnp.arange(cfg.n_tiles_padded + 1, dtype=jnp.int32)
+    tile_starts = jnp.searchsorted(tile_id_sorted, boundaries, side="left").astype(
+        jnp.int32
+    )
+    return _Binned(
+        order=order,
+        pair_gauss=pair_gauss,
+        pair_valid=pair_valid,
+        tile_starts=tile_starts,
+        total_pairs=total,
+    )
+
+
+def _tile_pixel_coords(cfg: RasterizeConfig, tile_ids: jax.Array) -> jax.Array:
+    """(TB, P, 2) pixel-center coordinates for a block of tiles."""
+    ts = cfg.tile_size
+    ty = tile_ids // cfg.tiles_x
+    tx = tile_ids % cfg.tiles_x
+    local = jnp.arange(ts * ts, dtype=jnp.float32)
+    lx = local % ts
+    ly = local // ts
+    px = tx[:, None].astype(jnp.float32) * ts + lx[None, :] + 0.5
+    py = ty[:, None].astype(jnp.float32) * ts + ly[None, :] + 0.5
+    return jnp.stack([px, py], axis=-1)
+
+
+def _gather_chunk(binned, sorted_arrays, starts, ends, chunk_idx, k):
+    """Gather one K-chunk of pair data for a block of tiles.
+
+    Returns per-array (TB, K, ...) gathers plus the in-tile mask and the
+    global in-tile pair position j (TB, K).
+    """
+    tb = starts.shape[0]
+    j = chunk_idx * k + jnp.arange(k, dtype=jnp.int32)[None, :]  # (1, K) in-tile
+    idx = starts[:, None] + j  # (TB, K) global pair index
+    in_range = idx < ends[:, None]
+    idx = jnp.minimum(idx, binned.pair_gauss.shape[0] - 1)
+    g = binned.pair_gauss[idx]  # (TB, K) depth-sorted gaussian index
+    gathered = [a[g] for a in sorted_arrays]
+    return gathered, in_range, jnp.broadcast_to(j, (tb, k)), g
+
+
+def _chunk_alpha(pix, g_m2d, g_con, g_opac, mask):
+    """(TB, P, K) alpha + hit mask for one chunk against one pixel block."""
+    dx = pix[:, :, None, 0] - g_m2d[:, None, :, 0]
+    dy = pix[:, :, None, 1] - g_m2d[:, None, :, 1]
+    a = g_con[:, None, :, 0]
+    b = g_con[:, None, :, 1]
+    c = g_con[:, None, :, 2]
+    sigma = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
+    alpha = jnp.minimum(MAX_ALPHA, g_opac[:, None, :] * jnp.exp(-sigma))
+    hit = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD) & mask[:, None, :]
+    return alpha, hit, dx, dy, sigma
+
+
+def _rasterize_forward(cfg: RasterizeConfig, binned: _Binned, sorted_data):
+    """Tiled forward compositing.
+
+    Returns padded (T_padded, P, F) accumulated features, (T_padded, P)
+    T_final, done flag, and int32 last-contributor in-tile index (-1 none).
+    """
+    m2d_s, con_s, opac_s, feat_s = sorted_data
+    k = cfg.chunk
+    tb = cfg.tile_block
+    p = cfg.tile_size * cfg.tile_size
+    f = feat_s.shape[-1]
+
+    def block_fn(_, block_idx):
+        tile_ids = block_idx * tb + jnp.arange(tb, dtype=jnp.int32)
+        starts = binned.tile_starts[tile_ids]
+        ends = binned.tile_starts[tile_ids + 1]
+        pix = _tile_pixel_coords(cfg, tile_ids)  # (TB, P, 2)
+        n_chunks = jnp.max(-(-(ends - starts) // k))
+
+        def chunk_fn(ci, carry):
+            t_run, done, out, last = carry
+            (gm, gc, go, gf), mask, j, _ = _gather_chunk(
+                binned, (m2d_s, con_s, opac_s, feat_s), starts, ends, ci, k
+            )
+            alpha, hit, _, _, _ = _chunk_alpha(pix, gm, gc, go, mask)
+            alpha_eff = jnp.where(hit, alpha, 0.0)
+            cp = _exclusive_cumprod(1.0 - alpha_eff, axis=2)  # prod_{j<k}
+            t_prev = t_run[:, :, None] * cp
+            next_t = t_prev * (1.0 - alpha_eff)
+            would_term = hit & (next_t <= TRANSMITTANCE_EPS)
+            term_before = (
+                jnp.cumsum(would_term.astype(jnp.int32), axis=2)
+                - would_term.astype(jnp.int32)
+            ) > 0
+            accept = hit & ~done[:, :, None] & ~term_before & ~would_term
+            wgt = jnp.where(accept, alpha * t_prev, 0.0)  # (TB, P, K)
+            out = out + jnp.einsum(
+                "tpk,tkf->tpf", wgt, gf, preferred_element_type=jnp.float32
+            )
+            t_run = t_run * jnp.prod(
+                1.0 - jnp.where(accept, alpha, 0.0), axis=2
+            )
+            done = done | jnp.any(would_term, axis=2)
+            last = jnp.maximum(
+                last, jnp.max(jnp.where(accept, j[:, None, :], -1), axis=2)
+            )
+            return t_run, done, out, last
+
+        init = (
+            jnp.ones((tb, p), jnp.float32),
+            jnp.zeros((tb, p), bool),
+            jnp.zeros((tb, p, f), jnp.float32),
+            jnp.full((tb, p), -1, jnp.int32),
+        )
+        t_run, done, out, last = jax.lax.fori_loop(0, n_chunks, chunk_fn, init)
+        return None, (out, t_run, last)
+
+    _, (out, t_final, last) = jax.lax.scan(
+        block_fn, None, jnp.arange(cfg.n_blocks, dtype=jnp.int32)
+    )
+    return (
+        out.reshape(cfg.n_tiles_padded, p, f),
+        t_final.reshape(cfg.n_tiles_padded, p),
+        last.reshape(cfg.n_tiles_padded, p),
+    )
+
+
+def _tiles_to_image(cfg: RasterizeConfig, tiles: jax.Array) -> jax.Array:
+    """(T_padded, P, F) tile-major buffer -> (H, W, F) cropped image."""
+    ts = cfg.tile_size
+    f = tiles.shape[-1]
+    full = tiles[: cfg.n_tiles].reshape(cfg.n_tiles, ts, ts, f)
+    img = full.reshape(cfg.tiles_y, cfg.tiles_x, ts, ts, f)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(
+        cfg.tiles_y * ts, cfg.tiles_x * ts, f
+    )
+    return img[: cfg.height, : cfg.width]
+
+
+def _image_to_tiles(cfg: RasterizeConfig, img: jax.Array) -> jax.Array:
+    """(H, W, F) -> zero-padded (T_padded, P, F) tile-major buffer."""
+    ts = cfg.tile_size
+    f = img.shape[-1]
+    ph = cfg.tiles_y * ts - cfg.height
+    pw = cfg.tiles_x * ts - cfg.width
+    img = jnp.pad(img, ((0, ph), (0, pw), (0, 0)))
+    t = img.reshape(cfg.tiles_y, ts, cfg.tiles_x, ts, f)
+    t = t.transpose(0, 2, 1, 3, 4).reshape(cfg.n_tiles, ts * ts, f)
+    pad_tiles = cfg.n_tiles_padded - cfg.n_tiles
+    if pad_tiles:
+        t = jnp.concatenate(
+            [t, jnp.zeros((pad_tiles, ts * ts, f), t.dtype)], axis=0
+        )
+    return t
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP core
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _rasterize_core(cfg, means2d, conics, opacities, features, absgrad_sink,
+                    depths, radii, validf):
+    out, _ = _raster_fwd(cfg, means2d, conics, opacities, features,
+                         absgrad_sink, depths, radii, validf)
+    return out
+
+
+def _raster_fwd(cfg, means2d, conics, opacities, features, absgrad_sink,
+                depths, radii, validf):
+    del absgrad_sink
+    binned = bin_gaussians(cfg, means2d, depths, radii, validf)
+    m2d_s = means2d[binned.order]
+    con_s = conics[binned.order]
+    opac_s = jnp.where(validf[binned.order] > 0.5, opacities[binned.order], 0.0)
+    feat_s = features[binned.order]
+    tiles_out, t_final, last = _rasterize_forward(
+        cfg, binned, (m2d_s, con_s, opac_s, feat_s)
+    )
+    image = _tiles_to_image(cfg, tiles_out)
+    alpha = _tiles_to_image(cfg, (1.0 - t_final)[..., None])
+    residuals = (binned, m2d_s, con_s, opac_s, feat_s, t_final, last,
+                 means2d.shape[0])
+    return (image, alpha), residuals
+
+
+def _raster_bwd(cfg, residuals, cotangents):
+    g_image, g_alpha = cotangents
+    binned, m2d_s, con_s, opac_s, feat_s, t_final, last, n = residuals
+    k = cfg.chunk
+    tb = cfg.tile_block
+    p = cfg.tile_size * cfg.tile_size
+    f = feat_s.shape[-1]
+
+    g_out_tiles = _image_to_tiles(cfg, g_image)  # (T_padded, P, F)
+    g_alpha_tiles = _image_to_tiles(cfg, g_alpha)[..., 0]  # (T_padded, P)
+    t_final_b = t_final.reshape(cfg.n_blocks, tb, p)
+    last_b = last.reshape(cfg.n_blocks, tb, p)
+    g_out_b = g_out_tiles.reshape(cfg.n_blocks, tb, p, f)
+    g_alpha_b = g_alpha_tiles.reshape(cfg.n_blocks, tb, p)
+
+    def block_fn(carry, xs):
+        gm2d, gcon, gop, gfeat, gabs = carry
+        block_idx, g_out, g_alpha_pix, t_fin, last_pix = xs
+        tile_ids = block_idx * tb + jnp.arange(tb, dtype=jnp.int32)
+        starts = binned.tile_starts[tile_ids]
+        ends = binned.tile_starts[tile_ids + 1]
+        pix = _tile_pixel_coords(cfg, tile_ids)
+        n_chunks = jnp.max(-(-(ends - starts) // k))
+
+        # dL/dT_final from the alpha output (alpha = 1 - T_final).
+        g_tfin = -g_alpha_pix  # (TB, P)
+
+        def chunk_fn(ci_rev, carry_in):
+            (gm2d, gcon, gop, gfeat, gabs, t_back, s_acc) = carry_in
+            ci = n_chunks - 1 - ci_rev
+            (gm, gc, go, gf), mask, j, gidx = _gather_chunk(
+                binned, (m2d_s, con_s, opac_s, feat_s), starts, ends, ci, k
+            )
+            alpha, hit, dx, dy, _ = _chunk_alpha(pix, gm, gc, go, mask)
+            accept = hit & (j[:, None, :] <= last_pix[:, :, None])
+            alpha_eff = jnp.where(accept, alpha, 0.0)
+            one_m = 1.0 - alpha_eff
+            # T at entry of element k: T_back_in * prod_{j>=k} 1/(1-a_j) —
+            # INCLUSIVE suffix product, because T_back (transmittance after
+            # the chunk) already contains the (1-a_k) factor itself.
+            rcp = 1.0 / one_m
+            suf = jnp.flip(jnp.cumprod(jnp.flip(rcp, axis=2), axis=2), axis=2)
+            t_entry = t_back[:, :, None] * suf  # (TB, P, K)
+            wgt = alpha_eff * t_entry
+
+            # Feature gradient: dL/df_k = sum_p w_pk g_pc.
+            gfeat_chunk = jnp.einsum(
+                "tpk,tpf->tkf", wgt, g_out, preferred_element_type=jnp.float32
+            )
+
+            # fg_pk = sum_c f_kc g_pc ; Q_pk = sum_{j>k} w_pj fg_pj + carry.
+            fg = jnp.einsum(
+                "tpf,tkf->tpk", g_out, gf, preferred_element_type=jnp.float32
+            )
+            wfg = wgt * fg
+            q_suf = jnp.flip(jnp.cumsum(jnp.flip(wfg, axis=2), axis=2), axis=2) - wfg
+            q = q_suf + s_acc[:, :, None]
+
+            inv_one_m = rcp
+            g_alpha_k = jnp.where(
+                accept,
+                t_entry * fg
+                - q * inv_one_m
+                + (g_tfin * t_fin)[:, :, None] * (-inv_one_m),
+                0.0,
+            )
+            # alpha = min(0.999, o * exp(-sigma)): no grad when capped.
+            not_capped = alpha < MAX_ALPHA
+            g_sigma = jnp.where(not_capped, -alpha * g_alpha_k, 0.0)
+            go_safe = jnp.maximum(go[:, None, :], 1e-12)
+            g_opac_pk = jnp.where(not_capped, (alpha / go_safe) * g_alpha_k, 0.0)
+
+            a = gc[:, None, :, 0]
+            b = gc[:, None, :, 1]
+            g_a = jnp.sum(g_sigma * 0.5 * dx * dx, axis=1)
+            g_b = jnp.sum(g_sigma * dx * dy, axis=1)
+            g_c = jnp.sum(g_sigma * 0.5 * dy * dy, axis=1)
+            # sigma depends on dx = px - mx  =>  d sigma/d mx = -(a dx + b dy)
+            g_mx_pk = -g_sigma * (a * dx + b * dy)
+            g_my_pk = -g_sigma * (
+                gc[:, None, :, 2] * dy + b * dx
+            )
+            g_mx = jnp.sum(g_mx_pk, axis=1)
+            g_my = jnp.sum(g_my_pk, axis=1)
+            g_op = jnp.sum(g_opac_pk, axis=1)
+
+            gi = gidx.reshape(-1)
+            mflat = mask.reshape(-1)
+            def sadd(acc, vals):
+                vals = jnp.where(
+                    mflat.reshape(vals.shape[:1] + (1,) * (vals.ndim - 1)),
+                    vals, 0.0,
+                )
+                return acc.at[gi].add(vals)
+
+            gm2d = sadd(gm2d, jnp.stack([g_mx, g_my], -1).reshape(-1, 2))
+            gcon = sadd(gcon, jnp.stack([g_a, g_b, g_c], -1).reshape(-1, 3))
+            gop = sadd(gop, g_op.reshape(-1))
+            gfeat = sadd(gfeat, gfeat_chunk.reshape(-1, f))
+            gabs = sadd(
+                gabs,
+                jnp.abs(jnp.stack([g_mx, g_my], -1)).reshape(-1, 2),
+            )
+
+            # Carry to the previous (shallower) chunk.
+            t_back = t_back * jnp.prod(rcp, axis=2)
+            s_acc = s_acc + jnp.sum(wfg, axis=2)
+            return (gm2d, gcon, gop, gfeat, gabs, t_back, s_acc)
+
+        init = (gm2d, gcon, gop, gfeat, gabs, t_fin, jnp.zeros((tb, p)))
+        out = jax.lax.fori_loop(0, n_chunks, chunk_fn, init)
+        return out[:5], None
+
+    init = (
+        jnp.zeros_like(m2d_s),
+        jnp.zeros_like(con_s),
+        jnp.zeros_like(opac_s),
+        jnp.zeros_like(feat_s),
+        jnp.zeros_like(m2d_s),
+    )
+    (gm2d_s, gcon_s, gop_s, gfeat_s, gabs_s), _ = jax.lax.scan(
+        block_fn,
+        init,
+        (
+            jnp.arange(cfg.n_blocks, dtype=jnp.int32),
+            g_out_b,
+            g_alpha_b,
+            t_final_b,
+            last_b,
+        ),
+    )
+
+    # Un-permute from depth-sorted back to original Gaussian order.
+    order = binned.order
+    def unsort(g):
+        return jnp.zeros_like(g).at[order].set(g)
+
+    return (
+        unsort(gm2d_s),
+        unsort(gcon_s),
+        unsort(gop_s),
+        unsort(gfeat_s),
+        unsort(gabs_s),  # absgrad through the sink input
+        jnp.zeros((n,), jnp.float32),  # depths: sort order not differentiated
+        jnp.zeros((n,), jnp.float32),  # radii
+        jnp.zeros((n,), jnp.float32),  # validf
+    )
+
+
+_rasterize_core.defvjp(_raster_fwd, _raster_bwd)
+
+
+def rasterize(
+    means2d: jax.Array,
+    conics: jax.Array,
+    depths: jax.Array,
+    opacities: jax.Array,
+    features: jax.Array,
+    valid: jax.Array,
+    cfg: RasterizeConfig,
+    absgrad_sink: jax.Array | None = None,
+    radii: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Tile-rasterize screen-space Gaussians.
+
+    Args:
+        means2d: (N, 2) pixel centers. conics: (N, 3). depths: (N,) camera
+        z (sort key). opacities: (N,) post-sigmoid. features: (N, F)
+        channels to composite. valid: (N,) bool or {0,1} float.
+        absgrad_sink: optional (N, 2) zeros; its gradient under jax.grad is
+            the absolute screen-space gradient (densification statistic).
+        radii: (N,) screen bounding radius; required for tile binning
+            (defaults to 3-sigma radius derived from the conic).
+
+    Returns:
+        (image (H, W, F), alpha (H, W, 1)).
+    """
+    validf = valid.astype(jnp.float32)
+    if radii is None:
+        # conic = inv(cov2d): eigenvalues of cov2d from conic determinant.
+        a, b, c = conics[:, 0], conics[:, 1], conics[:, 2]
+        det_inv = jnp.maximum(a * c - b * b, 1e-12)
+        ca = c / det_inv
+        cc = a / det_inv
+        mid = 0.5 * (ca + cc)
+        disc = jnp.sqrt(jnp.maximum(mid * mid - (ca * cc - (b / det_inv) ** 2), 0.0))
+        radii = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(mid + disc, 0.0)))
+    if absgrad_sink is None:
+        absgrad_sink = jnp.zeros_like(means2d)
+    return _rasterize_core(
+        cfg, means2d, conics, opacities, features, absgrad_sink,
+        depths, radii, validf,
+    )

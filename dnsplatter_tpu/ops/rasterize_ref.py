@@ -38,6 +38,8 @@ def rasterize_pixels_ref(
     valid: jax.Array,
     width: int,
     height: int,
+    radii: jax.Array | None = None,
+    tile_size: int = 16,
 ) -> Tuple[jax.Array, jax.Array]:
     """Composite screen-space Gaussians over a full image.
 
@@ -45,6 +47,12 @@ def rasterize_pixels_ref(
         means2d: (N, 2), conics: (N, 3), depths: (N,), opacities: (N,)
             (post-sigmoid, post-compensation), features: (N, F) per-Gaussian
             channels (rgb, depth, normals, ...), valid: (N,) bool.
+        radii: optional (N,) screen bounding radius. When given, a Gaussian
+            only touches pixels whose `tile_size` tile intersects its
+            [mean-radius, mean+radius] bbox — the same footprint culling
+            gsplat's tile binning performs (its CUDA rasterizer never sees
+            a Gaussian outside the tiles it was binned to, even though the
+            alpha tail can exceed 1/255 slightly beyond 3 sigma).
 
     Returns:
         image: (H, W, F) accumulated features (no background),
@@ -61,19 +69,27 @@ def rasterize_pixels_ref(
     conics = conics[order]
     opacities = jnp.where(valid[order], opacities[order], 0.0)
     features = features[order]
+    if radii is None:
+        radii_s = jnp.full((n,), jnp.inf, means2d.dtype)
+    else:
+        radii_s = radii[order]
 
     pix = pixel_coords(width, height).reshape(hw, 2)
+    pix_tile = jnp.floor(pix / tile_size)
 
     def body(carry, g):
         t, done, out = carry
-        mean, conic, opac, feat = g
+        mean, conic, opac, feat, radius = g
         d = pix - mean[None, :]
         sigma = (
             0.5 * (conic[0] * d[:, 0] ** 2 + conic[2] * d[:, 1] ** 2)
             + conic[1] * d[:, 0] * d[:, 1]
         )
         alpha = jnp.minimum(MAX_ALPHA, opac * jnp.exp(-sigma))
-        hit = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD)
+        tile_lo = jnp.floor((mean - radius) / tile_size)
+        tile_hi = jnp.floor((mean + radius) / tile_size)
+        in_fp = jnp.all((pix_tile >= tile_lo) & (pix_tile <= tile_hi), axis=-1)
+        hit = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD) & in_fp
         next_t = t * (1.0 - alpha)
         would_terminate = hit & (next_t <= TRANSMITTANCE_EPS)
         accept = hit & ~done & ~would_terminate
@@ -87,7 +103,7 @@ def rasterize_pixels_ref(
     done0 = jnp.zeros((hw,), bool)
     out0 = jnp.zeros((hw, f), means2d.dtype)
     (t_final, _, out), _ = jax.lax.scan(
-        body, (t0, done0, out0), (means2d, conics, opacities, features)
+        body, (t0, done0, out0), (means2d, conics, opacities, features, radii_s)
     )
     image = out.reshape(height, width, f)
     alpha = (1.0 - t_final).reshape(height, width, 1)

@@ -1,0 +1,296 @@
+"""Training loop: jitted step + host-side refinement cadence + checkpoints.
+
+Owns what the reference delegates to nerfstudio's Trainer (dn_config.py:
+13-73): the 30k-iteration loop over sequential full-image batches, per-group
+Adam, the BEFORE/AFTER_TRAIN_ITERATION refinement callbacks
+(dn_model.py:928-952 -> refinement_after), SH-degree schedule, checkpoint
+save/load, and metric logging.
+
+Design: one compiled `train_step` per (image shape, SH degree) pair — the
+SH schedule bumps 4 times total, everything else is shape-static. The
+refinement cadence (dn_model.py:281-301) is evaluated host-side where
+`step` is a Python int, dispatching to the jitted strategy transforms.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import time
+from pathlib import Path
+from typing import Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnsplatter_tpu.models.dn_model import (
+    ModelConfig,
+    apply_binary_opacities,
+    compute_loss,
+    get_outputs,
+    sh_degree_to_use,
+)
+from dnsplatter_tpu.models.gaussians import GaussianParams
+from dnsplatter_tpu.ops.camera import Camera
+from dnsplatter_tpu.ops.rasterize import RasterizeConfig
+from dnsplatter_tpu.train.optim import AdamState, OptimConfig, adam_step, init_adam
+from dnsplatter_tpu.train.strategy import (
+    RefineStats,
+    cull_only,
+    densify_and_cull,
+    init_stats,
+    reset_opacity,
+    update_stats,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    max_iterations: int = 30000
+    steps_per_eval_image: int = 500
+    steps_per_save: int = 1_000_000  # end-of-run only, like the reference
+    seed: int = 42
+    pair_capacity: int = 1 << 21
+    tile_size: int = 16
+    chunk: int = 64
+    tile_block: int = 32
+
+
+def make_train_step(
+    model_cfg: ModelConfig,
+    optim_cfg: OptimConfig,
+    raster_cfg: RasterizeConfig,
+    sh_degree: int,
+) -> Callable:
+    """Build the jitted train step for one (image-shape, sh-degree)."""
+
+    max_size = float(max(raster_cfg.width, raster_cfg.height))
+
+    @jax.jit
+    def step_fn(
+        params: GaussianParams,
+        alive: jax.Array,
+        adam: AdamState,
+        stats: RefineStats,
+        camera: Camera,
+        batch: Dict[str, jax.Array],
+        step: jax.Array,
+        key: jax.Array,
+    ):
+        kbg, kloss = jax.random.split(key)
+        params = apply_binary_opacities(params, alive, model_cfg, step)
+        sink = jnp.zeros_like(params.means[:, :2])
+
+        def loss_fn(p, abs_sink):
+            outputs, info = get_outputs(
+                p, alive, camera, model_cfg, raster_cfg,
+                sh_degree=sh_degree, absgrad_sink=abs_sink,
+                training=True, rng=kbg,
+            )
+            loss, ld = compute_loss(
+                outputs, batch, p, alive, camera, model_cfg, step, kloss
+            )
+            return loss, (ld, info)
+
+        (loss, (loss_dict, info)), (gparams, gabs) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, sink)
+
+        # Freeze dead capacity-padding slots.
+        am = alive
+        gparams = jax.tree.map(
+            lambda g: g * am.reshape((-1,) + (1,) * (g.ndim - 1)), gparams
+        )
+        new_params, new_adam = adam_step(optim_cfg, params, gparams, adam, step)
+        new_stats = update_stats(stats, gabs, info.radii, info.valid, max_size)
+        return new_params, new_adam, new_stats, loss, loss_dict
+
+    return step_fn
+
+
+class Trainer:
+    """Single-host trainer over an iterable of (camera, batch) samples.
+
+    `data` must yield (Camera, dict of numpy/JAX arrays) pairs; the
+    reference serves full images sequentially, not shuffled
+    (dn_datamanager.py:93-96) — the provided datamanagers do the same.
+    """
+
+    def __init__(
+        self,
+        data: "object",  # SceneSource protocol: __len__, get(i) -> (cam, batch)
+        seed_points: Optional[Tuple[np.ndarray, ...]] = None,
+        model_cfg: ModelConfig = ModelConfig(),
+        optim_cfg: OptimConfig = OptimConfig(),
+        train_cfg: TrainConfig = TrainConfig(),
+        out_dir: Optional[Path] = None,
+    ):
+        from dnsplatter_tpu.models.gaussians import init_from_points, init_random
+
+        self.data = data
+        self.model_cfg = model_cfg
+        self.optim_cfg = optim_cfg
+        self.train_cfg = train_cfg
+        self.out_dir = Path(out_dir) if out_dir else None
+        self.key = jax.random.PRNGKey(train_cfg.seed)
+
+        self.key, kinit = jax.random.split(self.key)
+        if seed_points is not None:
+            pts = seed_points[0]
+            cols = seed_points[1] if len(seed_points) > 1 else None
+            nrms = seed_points[2] if len(seed_points) > 2 else None
+            self.params, self.alive, _ = init_from_points(
+                kinit, pts, cols, nrms, sh_degree=model_cfg.sh_degree
+            )
+        else:
+            self.params, self.alive, _ = init_random(
+                kinit,
+                num_points=model_cfg.num_random,
+                extent=model_cfg.random_scale / 2.0,
+                sh_degree=model_cfg.sh_degree,
+            )
+        self.adam = init_adam(self.params)
+        self.stats = init_stats(self.params.capacity)
+        self.step = 0
+        self._step_fns: Dict[Tuple[int, int, int], Callable] = {}
+        self._history: list = []
+
+    def _raster_cfg(self, camera: Camera) -> RasterizeConfig:
+        tc = self.train_cfg
+        return RasterizeConfig(
+            width=camera.width,
+            height=camera.height,
+            tile_size=tc.tile_size,
+            chunk=tc.chunk,
+            tile_block=tc.tile_block,
+            pair_capacity=tc.pair_capacity,
+        )
+
+    def _get_step_fn(self, camera: Camera, sh_degree: int) -> Callable:
+        keyt = (camera.width, camera.height, sh_degree)
+        if keyt not in self._step_fns:
+            self._step_fns[keyt] = make_train_step(
+                self.model_cfg, self.optim_cfg, self._raster_cfg(camera), sh_degree
+            )
+        return self._step_fns[keyt]
+
+    def _refinement(self, camera: Camera) -> None:
+        """Host-side cadence (dn_model.py:281-301, 359-364)."""
+        cfg = self.model_cfg
+        step = self.step
+        if step <= cfg.warmup_length or step % cfg.refine_every != 0:
+            return
+        reset_interval = cfg.reset_alpha_every * cfg.refine_every
+        num_train = len(self.data)
+        do_densify = (
+            step < cfg.stop_split_at
+            and step % reset_interval > num_train + cfg.refine_every
+        )
+        max_size = float(max(camera.width, camera.height))
+        if do_densify:
+            self.key, kref = jax.random.split(self.key)
+            self.params, self.alive, self.adam, self.stats = densify_and_cull(
+                cfg, self.params, self.alive, self.adam, self.stats,
+                kref, step, max_size,
+            )
+        elif step >= cfg.stop_split_at and cfg.continue_cull_post_densification:
+            self.params, self.alive, self.adam, self.stats = cull_only(
+                cfg, self.params, self.alive, self.adam, self.stats, step
+            )
+        if (
+            step < cfg.stop_split_at
+            and step % reset_interval == cfg.refine_every
+        ):
+            self.params, self.adam = reset_opacity(cfg, self.params, self.adam)
+
+    def train(self, num_steps: Optional[int] = None, log_every: int = 100):
+        total = num_steps or self.train_cfg.max_iterations
+        n = len(self.data)
+        t0 = time.time()
+        for _ in range(total):
+            cam, batch = self.data.get(self.step % n)
+            sh = sh_degree_to_use(self.step, self.model_cfg)
+            fn = self._get_step_fn(cam, sh)
+            self.key, kstep = jax.random.split(self.key)
+            batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.params, self.adam, self.stats, loss, ld = fn(
+                self.params, self.alive, self.adam, self.stats, cam, batch_j,
+                jnp.asarray(self.step, jnp.int32), kstep,
+            )
+            self.step += 1
+            self._refinement(cam)
+            if self.step % log_every == 0 or self.step == total:
+                loss_v = float(loss)
+                n_alive = int(jnp.sum(self.alive))
+                dt = time.time() - t0
+                self._history.append(
+                    dict(step=self.step, loss=loss_v, n_gaussians=n_alive,
+                         wall_s=round(dt, 2))
+                )
+                print(
+                    f"step {self.step:6d}  loss {loss_v:.4f}  "
+                    f"gaussians {n_alive}  {dt:.1f}s",
+                    flush=True,
+                )
+            if (
+                self.out_dir
+                and self.train_cfg.steps_per_save
+                and self.step % self.train_cfg.steps_per_save == 0
+            ):
+                self.save_checkpoint()
+        if self.out_dir:
+            self.save_checkpoint()
+        return self._history
+
+    # -- checkpointing (orbax-free npz: state is a flat dict of arrays) --
+
+    def save_checkpoint(self, path: Optional[Path] = None) -> Path:
+        path = path or (self.out_dir / f"ckpt_{self.step:06d}.npz")
+        path.parent.mkdir(parents=True, exist_ok=True)
+        flat = {
+            f"params.{f}": np.asarray(getattr(self.params, f))
+            for f in self.params.__dataclass_fields__
+        }
+        flat["alive"] = np.asarray(self.alive)
+        flat["step"] = np.asarray(self.step)
+        for f in self.adam.mu.__dataclass_fields__:
+            flat[f"adam.mu.{f}"] = np.asarray(getattr(self.adam.mu, f))
+            flat[f"adam.nu.{f}"] = np.asarray(getattr(self.adam.nu, f))
+        flat["adam.count"] = np.asarray(self.adam.count)
+        np.savez_compressed(path, **flat)
+        meta = dataclasses.asdict(self.model_cfg)
+        (path.parent / "config.json").write_text(json.dumps(meta, indent=2))
+        return path
+
+    def load_checkpoint(self, path: Path) -> None:
+        z = np.load(path)
+        fields = {
+            f: jnp.asarray(z[f"params.{f}"])
+            for f in GaussianParams.__dataclass_fields__
+        }
+        self.params = GaussianParams(**fields)
+        self.alive = jnp.asarray(z["alive"])
+        self.step = int(z["step"])
+        mu = GaussianParams(**{
+            f: jnp.asarray(z[f"adam.mu.{f}"])
+            for f in GaussianParams.__dataclass_fields__
+        })
+        nu = GaussianParams(**{
+            f: jnp.asarray(z[f"adam.nu.{f}"])
+            for f in GaussianParams.__dataclass_fields__
+        })
+        self.adam = AdamState(mu=mu, nu=nu, count=jnp.asarray(z["adam.count"]))
+        self.stats = init_stats(self.params.capacity)
+
+
+def load_checkpoint_arrays(path: Path):
+    """Standalone checkpoint loader for offline tools (mesh export, eval) —
+    the eval_setup() equivalent (export_mesh.py:155 et al.)."""
+    z = np.load(path)
+    params = GaussianParams(**{
+        f: jnp.asarray(z[f"params.{f}"])
+        for f in GaussianParams.__dataclass_fields__
+    })
+    return params, jnp.asarray(z["alive"]), int(z["step"])

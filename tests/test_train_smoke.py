@@ -1,0 +1,119 @@
+"""End-to-end training smoke tests on a synthetic scene (CPU mesh).
+
+Covers SURVEY.md section 7 step 4's 'minimum end-to-end slice': a tiny
+Gaussian-mixture scene trained with the full DN-Splatter loss stack
+(rgb + depth + normal + scale), checking the loss decreases and the state
+machinery (Adam, refinement transforms, checkpointing) round-trips.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnsplatter_tpu.data.synthetic import make_synthetic_scene
+from dnsplatter_tpu.models.dn_model import ModelConfig
+from dnsplatter_tpu.train.optim import OptimConfig
+from dnsplatter_tpu.train.trainer import TrainConfig, Trainer
+
+
+def _make_trainer(tmp_path=None, **model_kw):
+    scene = make_synthetic_scene(seed=0, n_gaussians=300, n_cameras=4,
+                                 width=64, height=48,
+                                 pair_capacity=1 << 14)
+    model_cfg = ModelConfig(
+        use_depth_loss=True,
+        depth_lambda=0.2,
+        use_normal_loss=True,
+        normal_lambda=0.1,
+        warmup_length=10_000,  # keep refinement out of the smoke loop
+        sh_degree=1,
+        num_downscales=0,
+        **model_kw,
+    )
+    key = jax.random.PRNGKey(1)
+    pts, cols = scene.seed_points(key, noise=0.03)
+    trainer = Trainer(
+        data=scene,
+        seed_points=(pts, cols),
+        model_cfg=model_cfg,
+        train_cfg=TrainConfig(pair_capacity=1 << 14, chunk=32, tile_block=4,
+                              seed=3),
+    )
+    return scene, trainer
+
+
+def test_loss_decreases():
+    scene, trainer = _make_trainer()
+    hist = trainer.train(num_steps=30, log_every=10)
+    losses = [h["loss"] for h in hist]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, f"no learning: {losses}"
+
+
+def test_ags_mesh_strategy_runs():
+    scene, trainer = _make_trainer(regularization_strategy="ags-mesh")
+    hist = trainer.train(num_steps=6, log_every=3)
+    assert np.isfinite([h["loss"] for h in hist]).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    scene, trainer = _make_trainer()
+    trainer.out_dir = tmp_path
+    trainer.train(num_steps=4, log_every=2)
+    p = trainer.save_checkpoint()
+    step0, means0 = trainer.step, np.asarray(trainer.params.means)
+
+    scene2, trainer2 = _make_trainer()
+    trainer2.load_checkpoint(p)
+    assert trainer2.step == step0
+    np.testing.assert_array_equal(np.asarray(trainer2.params.means), means0)
+
+
+def test_refinement_transforms():
+    """densify/cull/reset transforms keep shapes static and masks sane."""
+    from dnsplatter_tpu.train.strategy import (
+        RefineStats, cull_only, densify_and_cull, reset_opacity,
+    )
+    from dnsplatter_tpu.train.optim import init_adam
+    from dnsplatter_tpu.models.gaussians import init_from_points
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (64, 3)).astype(np.float32)
+    params, alive, _ = init_from_points(jax.random.PRNGKey(0), pts, cols,
+                                        capacity=256)
+    adam = init_adam(params)
+    cfg = ModelConfig()
+    c = params.capacity
+
+    # Force interesting stats: huge grads on the first 32, big sizes on 16.
+    stats = RefineStats(
+        grad_sum=jnp.where(jnp.arange(c) < 32, 100.0, 0.0),
+        vis_count=jnp.ones((c,)),
+        max_2d=jnp.zeros((c,)),
+    )
+    big = jnp.where(jnp.arange(c) < 16, jnp.log(0.05), params.scales[:, 0])
+    params = dataclasses.replace(
+        params, scales=jnp.stack([big] * 3, -1)
+    )
+
+    n0 = int(jnp.sum(alive))
+    p2, a2, ad2, st2 = densify_and_cull(
+        cfg, params, alive, adam, stats, jax.random.PRNGKey(1),
+        step=3000, max_size=64.0,
+    )
+    assert p2.means.shape == params.means.shape  # static!
+    n2 = int(jnp.sum(a2))
+    # 16 split (die, 2 kids each) + 16 dups: 64 - 16 + 32 + 16 = 96
+    assert n2 == n0 - 16 + 32 + 16, (n0, n2)
+    # moments zeroed on touched slots
+    assert float(jnp.sum(jnp.abs(ad2.mu.means))) == 0.0
+
+    p3, a3, _, _ = cull_only(cfg, p2, a2, ad2, st2, step=16000)
+    assert int(jnp.sum(a3)) <= n2
+
+    p4, ad4 = reset_opacity(cfg, p2, ad2)
+    max_logit = float(np.log(0.2 / 0.8))
+    assert float(jnp.max(jnp.where(a2 > 0.5, p4.opacities, -100.0))) <= max_logit + 1e-5

@@ -1,0 +1,253 @@
+"""File IO: images, depth maps, normal maps, PLY point clouds.
+
+Self-contained replacements for the reference's Open3D/PIL/nerfstudio IO
+helpers (Open3D is not a dependency here). Depth conventions follow the
+reference (data/dn_dataset.py:119-194): 16-bit PNG in millimetres scaled
+by depth_unit_scale_factor (default 1e-3) * dataparser scale, or raw .npy
+in metres.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# images
+# --------------------------------------------------------------------------
+
+
+def read_image(path: Path) -> np.ndarray:
+    """(H, W, 3) float32 RGB in [0, 1]."""
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode not in ("RGB", "RGBA"):
+        img = img.convert("RGB")
+    arr = np.asarray(img, np.float32) / 255.0
+    return arr[..., :3]
+
+
+def write_image(path: Path, img: np.ndarray) -> None:
+    from PIL import Image
+
+    arr = np.clip(np.asarray(img), 0.0, 1.0)
+    Image.fromarray((arr * 255).astype(np.uint8)).save(path)
+
+
+def resize_image(img: np.ndarray, height: int, width: int,
+                 nearest: bool = False) -> np.ndarray:
+    """Resize (H, W[, C]) float array (PIL bilinear / nearest)."""
+    from PIL import Image
+
+    if img.shape[0] == height and img.shape[1] == width:
+        return img
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    chans = []
+    for c in range(img.shape[-1]):
+        p = Image.fromarray(img[..., c].astype(np.float32), mode="F")
+        p = p.resize((width, height),
+                     Image.NEAREST if nearest else Image.BILINEAR)
+        chans.append(np.asarray(p, np.float32))
+    out = np.stack(chans, axis=-1)
+    return out[..., 0] if squeeze else out
+
+
+# --------------------------------------------------------------------------
+# depth / normals
+# --------------------------------------------------------------------------
+
+
+def read_depth(path: Path, scale_factor: float = 1.0) -> np.ndarray:
+    """(H, W, 1) float32 depth in scene units.
+
+    PNG: 16-bit millimetre depth * scale_factor (the caller passes
+    depth_unit_scale_factor * dataparser_scale, reference
+    dn_dataset.py:128-152). NPY: metres * dataparser scale.
+    """
+    path = Path(path)
+    if path.suffix == ".npy":
+        d = np.load(path).astype(np.float32) * scale_factor
+    else:
+        from PIL import Image
+
+        d = np.asarray(Image.open(path)).astype(np.float32) * scale_factor
+    if d.ndim == 2:
+        d = d[..., None]
+    return d[..., :1]
+
+
+def write_depth_png(path: Path, depth: np.ndarray, unit: float = 1e-3) -> None:
+    """16-bit PNG depth (millimetres by default)."""
+    from PIL import Image
+
+    d = (np.asarray(depth).squeeze() / unit).astype(np.uint16)
+    Image.fromarray(d, mode="I;16").save(path)
+
+
+def read_normal(
+    path: Path,
+    format: str = "omnidata",
+    c2w: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """(H, W, 3) normals in [0, 1] image encoding.
+
+    Matches GDataset.get_normal_image_from_path (dn_dataset.py:204-268):
+    png/npy in [0,1]; 'omnidata' applies the OpenGL->OpenCV component flip
+    (1,-1,-1) in [-1,1] space; optional camera->world rotation (SDFStudio
+    'dsine'/world formats) when c2w given.
+    """
+    path = Path(path)
+    if path.suffix == ".npy":
+        n = np.load(path).astype(np.float32)
+        if n.ndim == 3 and n.shape[0] == 3:
+            n = np.transpose(n, (1, 2, 0))
+    else:
+        from PIL import Image
+
+        n = np.asarray(Image.open(path)).astype(np.float32) / 255.0
+    n = n[..., :3]
+    vec = 2.0 * n - 1.0
+    if format == "omnidata":
+        vec = vec * np.array([1.0, -1.0, -1.0], np.float32)
+    if c2w is not None:
+        vec = vec @ c2w[:3, :3].T
+    return (vec + 1.0) * 0.5
+
+
+# --------------------------------------------------------------------------
+# PLY
+# --------------------------------------------------------------------------
+
+_PLY_TYPES = {
+    "float": ("f", 4), "float32": ("f", 4), "double": ("d", 8),
+    "float64": ("d", 8), "uchar": ("B", 1), "uint8": ("B", 1),
+    "char": ("b", 1), "int8": ("b", 1), "short": ("h", 2), "ushort": ("H", 2),
+    "int": ("i", 4), "int32": ("i", 4), "uint": ("I", 4), "uint32": ("I", 4),
+}
+
+
+def read_ply(path: Path) -> Dict[str, np.ndarray]:
+    """Read vertex data from ascii / binary_little_endian PLY.
+
+    Returns dict with 'points' (N,3) and optionally 'colors' (N,3 in [0,1])
+    and 'normals' (N,3). Replaces Open3D read_point_cloud for seed clouds
+    (mushroom_dataparser.py:474-568 etc.).
+    """
+    with open(path, "rb") as f:
+        line = f.readline().strip()
+        if line != b"ply":
+            raise ValueError(f"{path} is not a PLY file")
+        fmt = None
+        n_vertex = 0
+        props = []  # (name, type) for the vertex element
+        in_vertex = False
+        while True:
+            line = f.readline().strip().decode("ascii")
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element"):
+                _, name, cnt = line.split()
+                in_vertex = name == "vertex"
+                if in_vertex:
+                    n_vertex = int(cnt)
+            elif line.startswith("property") and in_vertex:
+                parts = line.split()
+                if parts[1] == "list":
+                    raise ValueError("list property in vertex element")
+                props.append((parts[2], parts[1]))
+            elif line == "end_header":
+                break
+
+        names = [p[0] for p in props]
+        if fmt == "ascii":
+            rows = np.loadtxt(f, max_rows=n_vertex, dtype=np.float64)
+            rows = np.atleast_2d(rows)
+            data = {n: rows[:, i] for i, n in enumerate(names)}
+        elif fmt == "binary_little_endian":
+            np_types = {
+                "float": "<f4", "float32": "<f4", "double": "<f8",
+                "float64": "<f8", "uchar": "u1", "uint8": "u1",
+                "char": "i1", "int8": "i1", "short": "<i2",
+                "ushort": "<u2", "int": "<i4", "int32": "<i4",
+                "uint": "<u4", "uint32": "<u4",
+            }
+            dt = np.dtype([(n, np_types[t]) for n, t in props])
+            raw = np.frombuffer(f.read(dt.itemsize * n_vertex), dtype=dt,
+                                count=n_vertex)
+            data = {n: raw[n].astype(np.float64) for n in names}
+        else:
+            raise ValueError(f"unsupported PLY format {fmt}")
+
+    out: Dict[str, np.ndarray] = {
+        "points": np.stack([data["x"], data["y"], data["z"]], -1).astype(
+            np.float32
+        )
+    }
+    if all(k in data for k in ("red", "green", "blue")):
+        cols = np.stack([data["red"], data["green"], data["blue"]], -1)
+        if cols.max() > 1.0:
+            cols = cols / 255.0
+        out["colors"] = cols.astype(np.float32)
+    if all(k in data for k in ("nx", "ny", "nz")):
+        out["normals"] = np.stack(
+            [data["nx"], data["ny"], data["nz"]], -1
+        ).astype(np.float32)
+    return out
+
+
+def write_ply(
+    path: Path,
+    points: np.ndarray,
+    colors: Optional[np.ndarray] = None,
+    normals: Optional[np.ndarray] = None,
+    faces: Optional[np.ndarray] = None,
+) -> None:
+    """Write binary_little_endian PLY (point cloud or triangle mesh)."""
+    n = len(points)
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}",
+              "property float x", "property float y", "property float z"]
+    if normals is not None:
+        header += ["property float nx", "property float ny",
+                   "property float nz"]
+    if colors is not None:
+        header += ["property uchar red", "property uchar green",
+                   "property uchar blue"]
+    if faces is not None:
+        header += [f"element face {len(faces)}",
+                   "property list uchar int vertex_indices"]
+    header.append("end_header")
+
+    fields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    if normals is not None:
+        fields += [("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4")]
+    if colors is not None:
+        fields += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
+    rec = np.empty(n, dtype=np.dtype(fields))
+    rec["x"], rec["y"], rec["z"] = points[:, 0], points[:, 1], points[:, 2]
+    if normals is not None:
+        rec["nx"], rec["ny"], rec["nz"] = (
+            normals[:, 0], normals[:, 1], normals[:, 2]
+        )
+    if colors is not None:
+        cols = colors * 255.0 if colors.max() <= 1.0 + 1e-6 else colors
+        cols = np.clip(cols, 0, 255).astype(np.uint8)
+        rec["red"], rec["green"], rec["blue"] = cols[:, 0], cols[:, 1], cols[:, 2]
+
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        f.write(rec.tobytes())
+        if faces is not None:
+            fc = faces.astype("<i4")
+            frec = np.empty(
+                len(fc), dtype=np.dtype([("n", "u1"), ("idx", "<i4", (3,))])
+            )
+            frec["n"] = 3
+            frec["idx"] = fc
+            f.write(frec.tobytes())

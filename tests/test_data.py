@@ -1,0 +1,138 @@
+"""Data layer: IO roundtrips, COLMAP reader, transforms.json parser."""
+
+import json
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from dnsplatter_tpu.data import io
+from dnsplatter_tpu.data import colmap_utils as cu
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    cols = rng.uniform(size=(100, 3)).astype(np.float32)
+    nrm = rng.normal(size=(100, 3)).astype(np.float32)
+    p = tmp_path / "cloud.ply"
+    io.write_ply(p, pts, colors=cols, normals=nrm)
+    out = io.read_ply(p)
+    np.testing.assert_allclose(out["points"], pts, rtol=1e-6)
+    np.testing.assert_allclose(out["normals"], nrm, rtol=1e-6)
+    assert np.abs(out["colors"] - cols).max() < 1.0 / 255.0 + 1e-6
+
+
+def test_mesh_ply_roundtrip(tmp_path):
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    p = tmp_path / "mesh.ply"
+    io.write_ply(p, pts, faces=faces)
+    out = io.read_ply(p)
+    np.testing.assert_allclose(out["points"], pts)
+
+
+def test_depth_png_roundtrip(tmp_path):
+    d = np.random.default_rng(1).uniform(0.5, 4.0, (24, 32, 1)).astype(np.float32)
+    p = tmp_path / "d.png"
+    io.write_depth_png(p, d, unit=1e-3)
+    back = io.read_depth(p, scale_factor=1e-3)
+    assert np.abs(back - d).max() < 2e-3  # 16-bit mm quantization
+
+
+def test_normal_png_conventions(tmp_path):
+    from PIL import Image
+
+    n = np.zeros((8, 8, 3), np.float32)
+    n[..., 2] = 1.0  # straight +z in [-1,1]
+    enc = ((n + 1) / 2 * 255).astype(np.uint8)
+    p = tmp_path / "n.png"
+    Image.fromarray(enc).save(p)
+    out = io.read_normal(p, format="omnidata")
+    vec = 2 * out - 1
+    # omnidata flip maps +z -> -z
+    np.testing.assert_allclose(vec[..., 2], -1.0, atol=2e-2)
+
+
+def _write_fake_colmap(sparse: Path):
+    sparse.mkdir(parents=True)
+    # cameras.bin: one PINHOLE camera
+    with open(sparse / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, 64, 48))
+        f.write(struct.pack("<4d", 60.0, 60.0, 32.0, 24.0))
+    # images.bin: two images, no keypoints
+    with open(sparse / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        for i, name in enumerate([b"a.png", b"b.png"]):
+            f.write(struct.pack("<i", i + 1))
+            f.write(struct.pack("<4d", 1.0, 0.0, 0.0, 0.0))
+            f.write(struct.pack("<3d", 0.1 * i, 0.0, 1.0))
+            f.write(struct.pack("<i", 1))
+            f.write(name + b"\x00")
+            f.write(struct.pack("<Q", 0))
+    # points3D.bin: three points
+    with open(sparse / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", 3))
+        for i in range(3):
+            f.write(struct.pack("<Q3d3Bd", i, i * 1.0, 0.5, 2.0,
+                                100, 150, 200, 0.5))
+            f.write(struct.pack("<Q", 0))
+
+
+def test_colmap_reader(tmp_path):
+    _write_fake_colmap(tmp_path / "sparse")
+    cams, imgs, xyz, rgb = cu.read_model(tmp_path / "sparse")
+    assert cams[1].model == "PINHOLE"
+    assert cu.camera_intrinsics(cams[1]) == (60.0, 60.0, 32.0, 24.0)
+    assert imgs[1].name == "a.png"
+    assert xyz.shape == (3, 3)
+    np.testing.assert_allclose(rgb[0], [100 / 255, 150 / 255, 200 / 255])
+    # identity rotation -> c2w translation = -t, with GL flip on y/z cols
+    c2w = cu.image_c2w_opengl(imgs[1])
+    np.testing.assert_allclose(c2w[:3, 3], [0.0, 0.0, -1.0], atol=1e-9)
+
+
+def test_transforms_json_parser(tmp_path):
+    from dnsplatter_tpu.data.parsers.normal_nerfstudio import (
+        NerfstudioParserConfig, parse,
+    )
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "images").mkdir()
+    frames = []
+    for i in range(6):
+        img = rng.uniform(size=(24, 32, 3))
+        io.write_image(tmp_path / "images" / f"frame_{i:04d}.png", img)
+        c2w = np.eye(4)
+        c2w[:3, 3] = [np.cos(i), np.sin(i), 0.5]
+        frames.append(
+            {
+                "file_path": f"images/frame_{i:04d}.png",
+                "transform_matrix": c2w.tolist(),
+            }
+        )
+    meta = {
+        "fl_x": 30.0, "fl_y": 30.0, "cx": 16.0, "cy": 12.0,
+        "w": 32, "h": 24, "frames": frames,
+        "ply_file_path": "sparse_pc.ply",
+    }
+    (tmp_path / "transforms.json").write_text(json.dumps(meta))
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    io.write_ply(tmp_path / "sparse_pc.ply", pts,
+                 colors=rng.uniform(size=(50, 3)).astype(np.float32))
+
+    cfg = NerfstudioParserConfig(data=tmp_path, train_split_fraction=0.8)
+    train = parse(cfg, "train")
+    val = parse(cfg, "val")
+    assert len(train) + len(val) == 6
+    assert train.seed_points is not None and train.seed_points.shape == (50, 3)
+    # poses auto-scaled into the unit box
+    maxt = max(
+        float(np.abs(np.asarray(f.c2w)[:3, 3]).max()) for f in train.frames
+    )
+    assert maxt <= 1.0 + 1e-5
+
+    cam, batch = train.get(0)
+    assert batch["image"].shape == (24, 32, 3)
+    assert cam.width == 32 and cam.height == 24

@@ -1,0 +1,167 @@
+"""Command-line interface: train / eval / export / render.
+
+The reference registers into nerfstudio's CLI (`ns-train dn-splatter
+<dataparser> --data ...`, `ns-eval`, `gs-mesh <mode>`); this framework is
+self-contained, so the same surface lives here:
+
+    python -m dnsplatter_tpu.cli train dn-splatter normal-nerfstudio \
+        --data <dir> --output-dir runs/exp --model.use-depth-loss true
+    python -m dnsplatter_tpu.cli eval --checkpoint runs/exp/ckpt_030000.npz \
+        --method dn-splatter --dataparser normal-nerfstudio --data <dir>
+    python -m dnsplatter_tpu.cli export tsdf --checkpoint ... --data ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+from dnsplatter_tpu.configs import (
+    METHOD_PRESETS,
+    add_dataclass_args,
+    build_dataclass,
+    model_config_for_method,
+)
+from dnsplatter_tpu.models.dn_model import ModelConfig
+from dnsplatter_tpu.train.optim import OptimConfig
+from dnsplatter_tpu.train.trainer import TrainConfig, Trainer
+
+
+def _load_dataset(name: str, data: Path, split: str):
+    from dnsplatter_tpu.data.parsers import get_parser
+
+    parse = get_parser(name)
+    # Each parser has a sibling *ParserConfig dataclass as first arg default.
+    import inspect
+
+    sig = inspect.signature(parse)
+    cfg_cls = None
+    mod = sys.modules[parse.__module__]
+    for obj in vars(mod).values():
+        if (
+            isinstance(obj, type)
+            and dataclasses.is_dataclass(obj)
+            and obj.__name__.endswith("ParserConfig")
+        ):
+            cfg_cls = obj
+            break
+    cfg = cfg_cls(data=data) if cfg_cls else None
+    return parse(cfg, split)
+
+
+def cmd_train(argv):
+    p = argparse.ArgumentParser(prog="train")
+    p.add_argument("method", choices=sorted(METHOD_PRESETS))
+    p.add_argument("dataparser")
+    p.add_argument("--data", type=Path, required=True)
+    p.add_argument("--output-dir", type=Path, default=Path("runs/default"))
+    p.add_argument("--max-iterations", type=int, default=None)
+    add_dataclass_args(p, ModelConfig, "model")
+    add_dataclass_args(p, TrainConfig, "train")
+    add_dataclass_args(p, OptimConfig, "optim")
+    args = p.parse_args(argv)
+
+    base_model = model_config_for_method(args.method)
+    model_cfg = build_dataclass(ModelConfig, args, "model", base_model)
+    train_cfg = build_dataclass(TrainConfig, args, "train", TrainConfig())
+    optim_cfg = build_dataclass(OptimConfig, args, "optim", OptimConfig())
+    if args.max_iterations:
+        train_cfg = dataclasses.replace(
+            train_cfg, max_iterations=args.max_iterations
+        )
+
+    data = _load_dataset(args.dataparser, args.data, "train")
+    trainer = Trainer(
+        data=data,
+        seed_points=data.seed() if hasattr(data, "seed") else None,
+        model_cfg=model_cfg,
+        optim_cfg=optim_cfg,
+        train_cfg=train_cfg,
+        out_dir=args.output_dir,
+    )
+    trainer.train()
+    print(f"checkpoint: {trainer.save_checkpoint()}")
+
+
+def cmd_eval(argv):
+    p = argparse.ArgumentParser(prog="eval")
+    p.add_argument("--checkpoint", type=Path, required=True)
+    p.add_argument("--method", default="dn-splatter")
+    p.add_argument("--dataparser", default="normal-nerfstudio")
+    p.add_argument("--data", type=Path, required=True)
+    p.add_argument("--split", default="val")
+    p.add_argument("--output-dir", type=Path, default=None)
+    p.add_argument("--save-renders", action="store_true")
+    p.add_argument("--lpips-weights", type=Path, default=None)
+    args = p.parse_args(argv)
+
+    from dnsplatter_tpu.eval.evaluator import evaluate
+    from dnsplatter_tpu.train.trainer import load_checkpoint_arrays
+
+    params, alive, step = load_checkpoint_arrays(args.checkpoint)
+    data = _load_dataset(args.dataparser, args.data, args.split)
+    lpips_fn = None
+    if args.lpips_weights:
+        from dnsplatter_tpu.eval.metrics import lpips_from_npz
+
+        lpips_fn = lpips_from_npz(args.lpips_weights)
+    metrics = evaluate(
+        params, alive, data,
+        model_cfg=model_config_for_method(args.method),
+        lpips_fn=lpips_fn,
+        output_dir=args.output_dir,
+        save_renders=args.save_renders,
+    )
+    print(json.dumps(metrics, indent=2))
+
+
+def cmd_export(argv):
+    p = argparse.ArgumentParser(prog="export")
+    p.add_argument("mode", choices=["tsdf", "o3dtsdf", "dn", "gaussians",
+                                    "sugar-coarse", "marching"])
+    p.add_argument("--checkpoint", type=Path, required=True)
+    p.add_argument("--method", default="dn-splatter")
+    p.add_argument("--dataparser", default="normal-nerfstudio")
+    p.add_argument("--data", type=Path, required=True)
+    p.add_argument("--output-dir", type=Path, default=Path("exports"))
+    p.add_argument("--voxel-size", type=float, default=0.01)
+    p.add_argument("--resolution", type=int, default=256)
+    args = p.parse_args(argv)
+
+    from dnsplatter_tpu.mesh import exporters as E
+    from dnsplatter_tpu.train.trainer import load_checkpoint_arrays
+
+    params, alive, _ = load_checkpoint_arrays(args.checkpoint)
+    data = _load_dataset(args.dataparser, args.data, "train")
+    model_cfg = model_config_for_method(args.method)
+
+    if args.mode in ("tsdf", "o3dtsdf"):
+        cfg = E.TSDFExportConfig(voxel_size=args.voxel_size)
+        out = E.export_tsdf(params, alive, data, args.output_dir, model_cfg,
+                            cfg)
+    elif args.mode == "dn":
+        out = E.export_dn(params, alive, data, args.output_dir, model_cfg)
+    elif args.mode == "gaussians":
+        out = E.export_gaussians(params, alive, data, args.output_dir)
+    elif args.mode == "sugar-coarse":
+        out = E.export_sugar_coarse(params, alive, data, args.output_dir,
+                                    model_cfg)
+    else:
+        out = E.export_marching(params, alive, data, args.output_dir,
+                                resolution=args.resolution)
+    print(f"exported: {out}")
+
+
+def main():
+    cmds = {"train": cmd_train, "eval": cmd_eval, "export": cmd_export}
+    if len(sys.argv) < 2 or sys.argv[1] not in cmds:
+        print(f"usage: python -m dnsplatter_tpu.cli {{{'|'.join(cmds)}}} ...")
+        sys.exit(2)
+    cmds[sys.argv[1]](sys.argv[2:])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Method presets + dataclass<->CLI bridging.
+
+Presets mirror the reference's three registered methods
+(dn_config.py:13-160): `dn-splatter`, `ags-mesh`, and `dn-splatter-big`
+(cull_alpha_thresh=0.005, no post-densification culling). The CLI bridge
+exposes every dataclass field as `--section.field-name value` flags, the
+same addressing scheme nerfstudio/tyro gives the reference
+(`--pipeline.model.use-depth-loss True`, README.md:216-226).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, Type
+
+from dnsplatter_tpu.models.dn_model import ModelConfig
+from dnsplatter_tpu.train.optim import OptimConfig
+from dnsplatter_tpu.train.trainer import TrainConfig
+
+METHOD_PRESETS: Dict[str, Dict[str, Any]] = {
+    "dn-splatter": dict(regularization_strategy="dn-splatter"),
+    "ags-mesh": dict(regularization_strategy="ags-mesh"),
+    "dn-splatter-big": dict(
+        regularization_strategy="dn-splatter",
+        cull_alpha_thresh=0.005,
+        continue_cull_post_densification=False,
+    ),
+}
+
+
+def model_config_for_method(method: str, **overrides) -> ModelConfig:
+    preset = dict(METHOD_PRESETS[method])
+    preset.update(overrides)
+    return ModelConfig(**preset)
+
+
+def _parse_value(text: str, typ) -> Any:
+    if typ is bool:
+        return text.lower() in ("1", "true", "yes", "on")
+    if typ is Path:
+        return Path(text)
+    try:
+        return typ(text)
+    except Exception:
+        return text
+
+
+def add_dataclass_args(parser: argparse.ArgumentParser, cls: Type,
+                       prefix: str) -> None:
+    for f in dataclasses.fields(cls):
+        name = f"--{prefix}.{f.name.replace('_', '-')}"
+        parser.add_argument(name, dest=f"{prefix}__{f.name}", default=None,
+                            metavar=str(f.type))
+
+
+def build_dataclass(cls: Type, args: argparse.Namespace, prefix: str,
+                    base: Any = None) -> Any:
+    kwargs = dataclasses.asdict(base) if base is not None else {}
+    for f in dataclasses.fields(cls):
+        v = getattr(args, f"{prefix}__{f.name}", None)
+        if v is not None:
+            typ = f.type if isinstance(f.type, type) else type(
+                f.default if f.default is not dataclasses.MISSING else ""
+            )
+            kwargs[f.name] = _parse_value(v, typ)
+    return cls(**kwargs)

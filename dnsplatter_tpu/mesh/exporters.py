@@ -1,0 +1,276 @@
+"""Mesh export commands (parity: dn_splatter/export_mesh.py, `gs-mesh`).
+
+Implements the reference's six exporters over a trained checkpoint:
+  tsdf          TSDF fusion of rendered RGB-D (vdbfusion role,
+                export_mesh.py:823-927)
+  o3dtsdf       TSDF fusion with Open3D ScalableTSDFVolume defaults
+                (voxel 0.01 / trunc 0.03, export_mesh.py:930-1047)
+  dn            backproject rendered depth + surface normals -> oriented
+                point cloud (+ TSDF mesh; the reference feeds Poisson,
+                export_mesh.py:313-510). Depth-Laplacian edge filtering
+                included (find_depth_edges, export_mesh.py:58-90).
+  gaussians     Gaussian centers + normals -> oriented point cloud
+                (the reference's GaussiansToPoisson input,
+                export_mesh.py:128-310) with opacity/color filters.
+  sugar-coarse  SuGaR density level-set points + normals
+                (export_mesh.py:513-696)
+  marching      density-grid marching isosurface (export_mesh.py:699-820)
+
+Each command writes .ply outputs into --output-dir. A screened-Poisson
+backend is not bundled yet; `dn`/`gaussians`/`sugar-coarse` emit oriented
+point clouds (Poisson's exact input) plus a fused TSDF mesh where
+applicable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnsplatter_tpu.data import io
+from dnsplatter_tpu.mesh import tsdf as tsdf_lib
+from dnsplatter_tpu.models.dn_model import ModelConfig, get_outputs
+from dnsplatter_tpu.models.gaussians import GaussianParams
+from dnsplatter_tpu.ops.camera import backproject_depth
+from dnsplatter_tpu.ops.rasterize import RasterizeConfig
+
+
+def _render_frames(params, alive, data, model_cfg, sh_degree,
+                   pair_capacity=1 << 21):
+    """Yield (camera, outputs-dict) over all frames."""
+    fns = {}
+    for i in range(len(data)):
+        cam, _ = data.get(i)
+        key = (cam.width, cam.height)
+        if key not in fns:
+            cfg = RasterizeConfig(width=cam.width, height=cam.height,
+                                  tile_size=16, chunk=64, tile_block=32,
+                                  pair_capacity=pair_capacity)
+
+            @jax.jit
+            def fwd(p, a, c, _cfg=cfg):
+                out, _ = get_outputs(p, a, c, model_cfg, _cfg,
+                                     sh_degree=sh_degree, training=False,
+                                     background=jnp.zeros((3,)))
+                return out
+
+            fns[key] = fwd
+        yield cam, fns[key](params, alive, cam)
+
+
+def find_depth_edges(depth: np.ndarray, threshold: float = 0.01,
+                     dilation: int = 2) -> np.ndarray:
+    """Laplacian depth-discontinuity mask (export_mesh.py:58-90)."""
+    d = depth[..., 0] if depth.ndim == 3 else depth
+    lap = (
+        -4.0 * d
+        + np.roll(d, 1, 0) + np.roll(d, -1, 0)
+        + np.roll(d, 1, 1) + np.roll(d, -1, 1)
+    )
+    edges = np.abs(lap) > threshold
+    for _ in range(dilation):
+        e = edges
+        edges = (
+            e | np.roll(e, 1, 0) | np.roll(e, -1, 0)
+            | np.roll(e, 1, 1) | np.roll(e, -1, 1)
+        )
+    return edges
+
+
+@dataclasses.dataclass
+class TSDFExportConfig:
+    voxel_size: float = 0.01
+    sdf_trunc: float = 0.03
+    depth_max: float = 5.0
+    min_weight: float = 2.0
+
+
+def export_tsdf(params, alive, data, output_dir: Path,
+                model_cfg: ModelConfig = ModelConfig(),
+                cfg: TSDFExportConfig = TSDFExportConfig(),
+                sh_degree: int = 3,
+                bounds: Optional[Tuple] = None) -> Path:
+    """`gs-mesh tsdf` / `gs-mesh o3dtsdf`: fuse rendered RGB-D."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    cams = [data.get(i)[0] for i in range(len(data))]
+    if bounds is None:
+        bounds = tsdf_lib.scene_bounds_from_cameras(cams, cfg.depth_max)
+    vol = tsdf_lib.create_volume(
+        bounds[0], bounds[1],
+        tsdf_lib.TSDFConfig(voxel_size=cfg.voxel_size,
+                            sdf_trunc=cfg.sdf_trunc),
+    )
+    for cam, out in _render_frames(params, alive, data, model_cfg, sh_degree):
+        depth = np.asarray(out["depth"])
+        depth = np.where(depth < cfg.depth_max, depth, 0.0)
+        vol = tsdf_lib.integrate(
+            vol, depth, np.asarray(out["rgb"]), np.asarray(cam.c2w),
+            float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+        )
+    verts, faces, cols = tsdf_lib.extract_mesh(vol, cfg.min_weight)
+    out_path = output_dir / "TSDFfusion_mesh.ply"
+    io.write_ply(out_path, verts, colors=cols, faces=faces)
+    return out_path
+
+
+def export_dn(params, alive, data, output_dir: Path,
+              model_cfg: ModelConfig = ModelConfig(),
+              sh_degree: int = 3,
+              edge_threshold: float = 0.01,
+              total_points: int = 2_000_000,
+              also_tsdf: bool = True) -> Path:
+    """`gs-mesh dn`: depth + surface-normal backprojection with edge
+    filtering -> oriented point cloud (Poisson input) [+ TSDF mesh]."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    pts_all, nrm_all, col_all = [], [], []
+    n_frames = max(len(data), 1)
+    per_frame = max(1, total_points // n_frames)
+    for cam, out in _render_frames(params, alive, data, model_cfg, sh_degree):
+        depth = np.asarray(out["depth"])
+        edges = find_depth_edges(depth, edge_threshold)
+        c2w_cv = np.asarray(cam.c2w) @ np.diag([1.0, -1.0, -1.0, 1.0])
+        pts = np.asarray(
+            backproject_depth(jnp.asarray(depth[..., 0]), cam.fx, cam.fy,
+                              cam.cx, cam.cy, jnp.asarray(c2w_cv))
+        ).reshape(-1, 3)
+        # surface_normal is [0,1] camera-frame (flipped); restore world.
+        n_cam = 2.0 * np.asarray(out["surface_normal"]).reshape(-1, 3) - 1.0
+        n_cam = n_cam * np.array([1.0, -1.0, -1.0])  # undo display flip
+        n_world = n_cam @ c2w_cv[:3, :3].T
+        cols = np.asarray(out["rgb"]).reshape(-1, 3)
+        acc = np.asarray(out["accumulation"]).reshape(-1)
+        ok = (acc > 0.5) & ~edges.reshape(-1) & (depth.reshape(-1) > 0)
+        idx = np.where(ok)[0]
+        if len(idx) > per_frame:
+            idx = idx[:: max(1, len(idx) // per_frame)]
+        pts_all.append(pts[idx])
+        nrm_all.append(n_world[idx])
+        col_all.append(cols[idx])
+    pts = np.concatenate(pts_all)
+    nrm = np.concatenate(nrm_all)
+    cols = np.concatenate(col_all)
+    pcd_path = output_dir / "DepthAndNormals_pcd.ply"
+    io.write_ply(pcd_path, pts, colors=cols, normals=nrm)
+    if also_tsdf:
+        export_tsdf(params, alive, data, output_dir, model_cfg,
+                    sh_degree=sh_degree)
+    return pcd_path
+
+
+def export_gaussians(params, alive, data, output_dir: Path,
+                     min_opacity: float = 0.1,
+                     cull_by_color: bool = False) -> Path:
+    """`gs-mesh gaussians`: centers + per-Gaussian normals as an oriented
+    point cloud (export_mesh.py:128-310)."""
+    from dnsplatter_tpu.ops.sh import sh_to_rgb
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    alive_np = np.asarray(alive) > 0.5
+    opac = np.asarray(jax.nn.sigmoid(params.opacities))
+    keep = alive_np & (opac > min_opacity)
+    pts = np.asarray(params.means)[keep]
+    nrm = np.asarray(params.normals)[keep]
+    cols = np.clip(np.asarray(sh_to_rgb(params.features_dc))[keep], 0, 1)
+    if cull_by_color:
+        keep2 = cols.mean(-1) > 0.1
+        pts, nrm, cols = pts[keep2], nrm[keep2], cols[keep2]
+    out_path = output_dir / "Gaussians_pcd.ply"
+    io.write_ply(out_path, pts, colors=cols, normals=nrm)
+    return out_path
+
+
+def export_sugar_coarse(params, alive, data, output_dir: Path,
+                        model_cfg: ModelConfig = ModelConfig(),
+                        sh_degree: int = 3,
+                        surface_levels=(0.1, 0.3, 0.5),
+                        frame_stride: int = 4,
+                        subsample: int = 8) -> Path:
+    """`gs-mesh sugar-coarse`: density level-set points + normals
+    (export_mesh.py:513-696)."""
+    from dnsplatter_tpu.models.sugar import compute_level_surface_points
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    acc: dict = {lv: ([], [], []) for lv in surface_levels}
+    frames = list(
+        _render_frames(params, alive, data, model_cfg, sh_degree)
+    )[::frame_stride]
+    for cam, out in frames:
+        res = compute_level_surface_points(
+            params, alive, cam, np.asarray(out["depth"]),
+            np.asarray(out["rgb"]), surface_levels=surface_levels,
+            subsample=subsample,
+        )
+        for lv, d in res.items():
+            acc[lv][0].append(d["points"])
+            acc[lv][1].append(d["colors"])
+            acc[lv][2].append(d["normals"])
+    last = None
+    for lv, (p, c, n) in acc.items():
+        if not p:
+            continue
+        path = output_dir / f"sugar_level_{lv:.1f}_pcd.ply"
+        io.write_ply(path, np.concatenate(p), colors=np.concatenate(c),
+                     normals=np.concatenate(n))
+        last = path
+    return last
+
+
+def export_marching(params, alive, data, output_dir: Path,
+                    resolution: int = 256, level: float = 0.5,
+                    padding: float = 0.1) -> Path:
+    """`gs-mesh marching`: density grid + isosurface (export_mesh.py:699-820).
+
+    Grid bounds from live Gaussian extent; vertex colors from the nearest
+    Gaussian's DC color.
+    """
+    from scipy.spatial import cKDTree
+
+    from dnsplatter_tpu.models.sugar import get_density
+    from dnsplatter_tpu.mesh.marching import marching_tetrahedra
+    from dnsplatter_tpu.ops.sh import sh_to_rgb
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    alive_np = np.asarray(alive) > 0.5
+    means = np.asarray(params.means)[alive_np]
+    lo = means.min(0) - padding
+    hi = means.max(0) + padding
+    xs = [np.linspace(lo[d], hi[d], resolution) for d in range(3)]
+    grid = np.stack(np.meshgrid(*xs, indexing="ij"), -1).reshape(-1, 3)
+
+    dens = np.zeros(len(grid), np.float32)
+    chunk = 1 << 19
+    for s in range(0, len(grid), chunk):
+        e = min(s + chunk, len(grid))
+        dens[s:e] = np.asarray(
+            get_density(jnp.asarray(grid[s:e], jnp.float32), params, alive,
+                        clamp=False)
+        )
+    field = dens.reshape(resolution, resolution, resolution)
+    # marching_tetrahedra extracts "inside = field < level"; density is
+    # inside when ABOVE the level, so negate.
+    verts, faces = marching_tetrahedra(level - field, 0.0)
+    scalefac = (hi - lo) / (resolution - 1)
+    verts_w = lo + verts * scalefac
+
+    cols = None
+    if len(verts_w):
+        tree = cKDTree(means)
+        _, nn = tree.query(verts_w, k=1, workers=-1)
+        dc = np.clip(
+            np.asarray(sh_to_rgb(params.features_dc))[alive_np][nn], 0, 1
+        )
+        cols = dc
+    out_path = output_dir / "MarchingCubes_mesh.ply"
+    io.write_ply(out_path, verts_w.astype(np.float32), colors=cols,
+                 faces=faces)
+    return out_path

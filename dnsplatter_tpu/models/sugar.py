@@ -1,0 +1,246 @@
+"""SuGaR-style density / SDF field operations over the Gaussian mixture.
+
+Parity: dn_splatter/dn_model.py:954-1494 —
+  * volume-weighted point sampling inside Gaussians (:954-1004)
+  * KNN to Gaussian centers (k=16; host cKDTree here, :1061-1075)
+  * density = sum_j opacity_j * exp(-1/2 Mahalanobis^2) over the 16
+    nearest Gaussians, with the >=1 saturation trick (:1077-1135)
+  * sdf = sqrt(-2 log density) (:1137-1159)
+  * ideal SDF from rendered depth (:1006-1059)
+  * level-surface extraction: 21 samples over +-3 sigma along camera rays
+    through backprojected depth points, linear interpolation of the first
+    density crossing, analytic (-grad density) or closest-gaussian normals
+    (:1206-1447)
+
+Density evaluation is chunked jit (2M samples/pass in the reference; here
+chunks stream through XLA with static shapes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnsplatter_tpu.models.gaussians import GaussianParams
+from dnsplatter_tpu.ops.quat import quat_to_rotmat
+
+OPACITY_MIN_CLAMP = 1e-4
+
+
+def inv_sqrt_cov3d(scales_log: jax.Array, quats: jax.Array) -> jax.Array:
+    """sqrt of the inverse covariance: R diag(1/s) (dn_model.py:1603-1612,
+    scale_rot_to_inv_cov3d with return_sqrt=True)."""
+    rot = quat_to_rotmat(quats)
+    return rot * (1.0 / jnp.exp(scales_log))[..., None, :]
+
+
+def sample_points_in_gaussians(
+    key: jax.Array,
+    params: GaussianParams,
+    alive: jax.Array,
+    num_samples: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Volume-weighted multinomial sampling (dn_model.py:954-1004)."""
+    scales = jnp.exp(params.scales)
+    vol = jnp.abs(scales[:, 0] * scales[:, 1] * scales[:, 2]) * (alive > 0.5)
+    kidx, knoise = jax.random.split(key)
+    idx = jax.random.categorical(
+        kidx, jnp.log(jnp.maximum(vol, 1e-30)), shape=(num_samples,)
+    )
+    eps = jax.random.normal(knoise, (num_samples, 3)) * scales[idx]
+    rots = quat_to_rotmat(params.quats[idx])
+    pts = params.means[idx] + jnp.einsum("nij,nj->ni", rots, eps)
+    return pts, idx
+
+
+def get_closest_gaussians(
+    samples: np.ndarray, params: GaussianParams, alive: jax.Array, k: int = 16
+) -> np.ndarray:
+    """(M, k) indices of nearest live Gaussians (host cKDTree, offline)."""
+    from scipy.spatial import cKDTree
+
+    alive_np = np.asarray(alive) > 0.5
+    live_idx = np.where(alive_np)[0]
+    means = np.asarray(params.means)[live_idx]
+    tree = cKDTree(means)
+    _, nn = tree.query(np.asarray(samples), k=k, workers=-1)
+    return live_idx[nn]
+
+
+@jax.jit
+def _density_chunk(samples, idx, means, inv_sqrt, opac):
+    c = means[idx]  # (M, k, 3)
+    isr = inv_sqrt[idx]  # (M, k, 3, 3)
+    o = opac[idx]  # (M, k)
+    shift = samples[:, None, :] - c
+    man = jnp.einsum("mkji,mkj->mki", isr, shift)  # R^T-side inverse scale
+    m2 = jnp.clip(jnp.sum(man * man, axis=-1), 0.0, 1e8)
+    dens = jnp.sum(o * jnp.exp(-0.5 * m2), axis=-1)
+    # saturation: densities >= 1 normalized to ~1 (dn_model.py:1128-1131)
+    dens = jnp.where(dens >= 1.0, dens / (jax.lax.stop_gradient(dens) + 1e-5),
+                     dens)
+    return dens
+
+
+def get_density(
+    samples: jax.Array,
+    params: GaussianParams,
+    alive: jax.Array,
+    closest: Optional[np.ndarray] = None,
+    chunk: int = 1 << 20,
+    clamp: bool = True,
+) -> jax.Array:
+    """Density at sample points (dn_model.py:1077-1135)."""
+    if closest is None:
+        closest = get_closest_gaussians(np.asarray(samples), params, alive)
+    closest = jnp.asarray(closest)
+    inv_sqrt = inv_sqrt_cov3d(params.scales, params.quats)
+    opac = jax.nn.sigmoid(params.opacities) * (alive > 0.5)
+    outs = []
+    m = samples.shape[0]
+    for s in range(0, m, chunk):
+        e = min(s + chunk, m)
+        outs.append(
+            _density_chunk(samples[s:e], closest[s:e], params.means,
+                           inv_sqrt, opac)
+        )
+    dens = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    return jnp.maximum(dens, OPACITY_MIN_CLAMP) if clamp else dens
+
+
+def get_sdf(samples, params, alive, closest=None) -> jax.Array:
+    """sdf = sqrt(-2 log density) (dn_model.py:1137-1159)."""
+    dens = get_density(samples, params, alive, closest)
+    return jnp.sqrt(-2.0 * jnp.log(dens))
+
+
+def get_ideal_sdf(
+    samples: jax.Array,
+    depth: jax.Array,
+    camera,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Ideal SDF of samples vs the rendered depth map: project each sample,
+    read the depth, sdf = depth(sample_pixel) - sample_z
+    (dn_model.py:1006-1059)."""
+    c2w_cv = camera.c2w @ jnp.diag(jnp.array([1.0, -1.0, -1.0, 1.0]))
+    # w2c rotation is R^T, so p_cam = R^T (p - t) = (p - t) @ R.
+    pts_cam = (samples - c2w_cv[:3, 3]) @ c2w_cv[:3, :3]
+    z = pts_cam[:, 2]
+    u = jnp.clip(
+        (pts_cam[:, 0] * camera.fx / z + camera.cx).astype(jnp.int32),
+        0, camera.width - 1,
+    )
+    v = jnp.clip(
+        (pts_cam[:, 1] * camera.fy / z + camera.cy).astype(jnp.int32),
+        0, camera.height - 1,
+    )
+    d = depth[v, u, 0]
+    return d - z
+
+
+def compute_level_surface_points(
+    params: GaussianParams,
+    alive: jax.Array,
+    camera,
+    depth: jax.Array,
+    rgb: jax.Array,
+    surface_levels: Tuple[float, ...] = (0.1, 0.3, 0.5),
+    n_points_in_range: int = 21,
+    range_size: float = 3.0,
+    knn_k: int = 16,
+    return_normal: str = "closest_gaussian",
+    subsample: int = 1,
+) -> Dict[float, Dict[str, np.ndarray]]:
+    """Level-surface intersections per surface level (dn_model.py:1206-1447).
+
+    Returns {level: {points, colors, normals}} numpy dict.
+    """
+    from dnsplatter_tpu.ops.camera import backproject_depth
+
+    c2w_cv = np.asarray(camera.c2w) @ np.diag([1.0, -1.0, -1.0, 1.0])
+    pts = np.asarray(
+        backproject_depth(depth[..., 0], camera.fx, camera.fy, camera.cx,
+                          camera.cy, jnp.asarray(c2w_cv))
+    ).reshape(-1, 3)
+    cols = np.asarray(rgb).reshape(-1, 3)
+    dep = np.asarray(depth).reshape(-1)
+    keep = dep > 0.0
+    pts, cols = pts[keep][::subsample], cols[keep][::subsample]
+    if len(pts) == 0:
+        return {lv: dict(points=np.zeros((0, 3)), colors=np.zeros((0, 3)),
+                         normals=np.zeros((0, 3))) for lv in surface_levels}
+
+    closest = get_closest_gaussians(pts, params, alive, k=knn_k)
+
+    # std of the first-closest gaussian along the view direction
+    cam_pos = np.asarray(camera.position())
+    means = np.asarray(params.means)
+    scales = np.exp(np.asarray(params.scales))
+    quats = np.asarray(params.quats)
+    first = closest[:, 0]
+    viewdirs = cam_pos - means[first]
+    viewdirs = viewdirs / np.maximum(
+        np.linalg.norm(viewdirs, axis=-1, keepdims=True), 1e-12
+    )
+    rots = np.asarray(quat_to_rotmat(jnp.asarray(quats[first])))
+    local = np.einsum("nij,ni->nj", rots, viewdirs)  # R^T v
+    stds = np.linalg.norm(scales[first] * local, axis=-1)
+
+    t_lin = np.linspace(-range_size, range_size, n_points_in_range)
+    t_range = t_lin[None, :] * stds[:, None]  # (P, S)
+    ray_dir = pts - cam_pos
+    ray_dir /= np.maximum(np.linalg.norm(ray_dir, axis=-1, keepdims=True), 1e-12)
+    samples = pts[:, None, :] + t_range[..., None] * ray_dir[:, None, :]
+    s_flat = samples.reshape(-1, 3)
+    closest_rep = np.repeat(closest, n_points_in_range, axis=0)
+
+    dens = np.asarray(
+        get_density(jnp.asarray(s_flat), params, alive, closest_rep,
+                    clamp=False)
+    ).reshape(-1, n_points_in_range)
+
+    out: Dict[float, Dict[str, np.ndarray]] = {}
+    inv_sqrt = inv_sqrt_cov3d(params.scales, params.quats)
+    opac_np = jax.nn.sigmoid(params.opacities) * (alive > 0.5)
+    for level in surface_levels:
+        above = dens > level
+        under0 = dens[:, 0] < level
+        first_above = above.argmax(axis=1)
+        valid = under0 & (first_above > 0)
+        fa = first_above[valid]
+        rows = np.where(valid)[0]
+        v_hi = dens[rows, fa]
+        v_lo = dens[rows, fa - 1]
+        t_hi = t_range[rows, fa]
+        t_lo = t_range[rows, fa - 1]
+        t_int = (level - v_lo) / np.maximum(v_hi - v_lo, 1e-12) * (
+            t_hi - t_lo
+        ) + t_lo
+        p_int = pts[rows] + t_int[:, None] * ray_dir[rows]
+        c_int = cols[rows]
+
+        if return_normal == "closest_gaussian":
+            nn = closest[rows, 0]
+            rr = np.asarray(quat_to_rotmat(jnp.asarray(quats[nn])))
+            smallest = np.argmin(np.asarray(params.scales)[nn], axis=-1)
+            normals = rr[np.arange(len(nn)), :, smallest]
+        else:  # analytical: -grad density / |.|
+            def dens_sum(x):
+                return jnp.sum(
+                    _density_chunk(x, jnp.asarray(closest[rows]),
+                                   params.means, inv_sqrt, opac_np)
+                )
+
+            g = np.asarray(jax.grad(dens_sum)(jnp.asarray(p_int)))
+            normals = -g / np.maximum(
+                np.linalg.norm(g, axis=-1, keepdims=True), 1e-12
+            )
+        out[level] = dict(points=p_int.astype(np.float32),
+                          colors=c_int.astype(np.float32),
+                          normals=normals.astype(np.float32))
+    return out

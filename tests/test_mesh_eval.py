@@ -1,0 +1,123 @@
+"""Mesh extraction + evaluation suite on the synthetic scene."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnsplatter_tpu.data.synthetic import make_synthetic_scene
+from dnsplatter_tpu.models.dn_model import ModelConfig
+
+
+def _scene_state():
+    scene = make_synthetic_scene(seed=0, n_gaussians=250, n_cameras=3,
+                                 width=48, height=48,
+                                 pair_capacity=1 << 13)
+    # gt params act as a "trained" model
+    return scene, scene.gt_params, scene.gt_alive
+
+
+def test_marching_tetrahedra_sphere():
+    from dnsplatter_tpu.mesh.marching import marching_tetrahedra
+
+    n = 32
+    g = np.mgrid[0:n, 0:n, 0:n].astype(np.float64)
+    c = (n - 1) / 2
+    field = np.sqrt(((g - c) ** 2).sum(0)) - 10.0
+    verts, faces = marching_tetrahedra(field, 0.0)
+    assert len(verts) > 500 and len(faces) > 1000
+    rad = np.linalg.norm(verts - c, axis=1)
+    assert abs(rad.mean() - 10.0) < 0.05
+    # watertight: every edge shared by exactly 2 faces
+    from collections import Counter
+
+    cnt = Counter()
+    for f in faces:
+        for a, b in ((0, 1), (1, 2), (0, 2)):
+            cnt[(min(f[a], f[b]), max(f[a], f[b]))] += 1
+    assert set(cnt.values()) == {2}
+    # outward orientation
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    nrm = np.cross(v1 - v0, v2 - v0)
+    ctr = (v0 + v1 + v2) / 3 - c
+    assert ((nrm * ctr).sum(1) > 0).mean() > 0.99
+
+
+def test_tsdf_fusion_and_export(tmp_path):
+    from dnsplatter_tpu.mesh.exporters import TSDFExportConfig, export_tsdf
+
+    scene, params, alive = _scene_state()
+    out = export_tsdf(
+        params, alive, scene, tmp_path,
+        cfg=TSDFExportConfig(voxel_size=0.15, sdf_trunc=0.45, depth_max=6.0,
+                             min_weight=1.0),
+        sh_degree=0,
+    )
+    assert out.exists()
+    from dnsplatter_tpu.data import io
+
+    mesh = io.read_ply(out)
+    assert len(mesh["points"]) > 0
+
+
+def test_export_gaussians_and_marching(tmp_path):
+    from dnsplatter_tpu.mesh.exporters import export_gaussians, export_marching
+
+    scene, params, alive = _scene_state()
+    p1 = export_gaussians(params, alive, scene, tmp_path)
+    assert p1.exists()
+    p2 = export_marching(params, alive, scene, tmp_path, resolution=48,
+                         level=0.3)
+    assert p2.exists()
+
+
+def test_sugar_density_field():
+    from dnsplatter_tpu.models.sugar import (
+        get_density, get_sdf, sample_points_in_gaussians,
+    )
+
+    scene, params, alive = _scene_state()
+    pts, idx = sample_points_in_gaussians(jax.random.PRNGKey(0), params,
+                                          alive, 512)
+    assert pts.shape == (512, 3)
+    dens_at_centers = get_density(params.means[:64], params, alive)
+    dens_far = get_density(
+        params.means[:64] + jnp.array([50.0, 0.0, 0.0]), params, alive
+    )
+    # density near centers dominates density far away
+    assert float(jnp.median(dens_at_centers)) > 10 * float(jnp.median(dens_far))
+    sdf = get_sdf(params.means[:64] + jnp.array([50.0, 0.0, 0.0]),
+                  params, alive)
+    assert np.isfinite(np.asarray(sdf)).all()
+
+
+def test_evaluator_metrics():
+    from dnsplatter_tpu.eval.evaluator import evaluate
+
+    scene, params, alive = _scene_state()
+    agg = evaluate(params, alive, scene, ModelConfig(), sh_degree=0,
+                   pair_capacity=1 << 13)
+    # rendering the gt gaussians against their own renders: near-perfect
+    assert agg["rgb_psnr"] > 35, agg
+    assert agg["depth_abs_rel"] < 0.05, agg
+    assert agg["num_images"] == 3
+
+
+def test_metric_formulas():
+    from dnsplatter_tpu.eval import metrics as M
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+    m = M.rgb_metrics(a, a)
+    assert m["psnr"] > 60 and m["ssim"] > 0.999
+
+    d = jnp.asarray(rng.uniform(1.0, 4.0, (32, 32, 1)).astype(np.float32))
+    dm = M.depth_metrics(d, d)
+    assert dm["abs_rel"] < 1e-6 and dm["a1"] == 1.0
+
+    n = jnp.zeros((8, 8, 3)).at[..., 2].set(1.0)
+    nm = M.normal_metrics(n, n)
+    assert nm["mae"] < 1e-3
+
+    pts = rng.normal(size=(500, 3)).astype(np.float32)
+    pd = M.pd_metrics(pts, pts)
+    assert pd["accuracy"] < 1e-6 and pd["completeness"] == 1.0

@@ -136,14 +136,68 @@ def image_c2w_opengl(img: ColmapImage) -> np.ndarray:
     return c2w
 
 
+def read_cameras_txt(path: Path) -> Dict[int, ColmapCamera]:
+    cams = {}
+    for line in Path(path).read_text().splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        parts = line.split()
+        cams[int(parts[0])] = ColmapCamera(
+            parts[1], int(parts[2]), int(parts[3]),
+            np.array([float(x) for x in parts[4:]]),
+        )
+    return cams
+
+
+def read_images_txt(path: Path) -> Dict[int, ColmapImage]:
+    imgs = {}
+    lines = [
+        l for l in Path(path).read_text().splitlines()
+        if l.strip() and not l.startswith("#")
+    ]
+    for i in range(0, len(lines), 2):
+        parts = lines[i].split()
+        img_id = int(parts[0])
+        q = np.array([float(x) for x in parts[1:5]])
+        t = np.array([float(x) for x in parts[5:8]])
+        cam_id = int(parts[8])
+        name = parts[9]
+        imgs[img_id] = ColmapImage(q, t, cam_id, name,
+                                   np.zeros((0, 2)), np.zeros((0,), np.int64))
+    return imgs
+
+
+def read_points3d_txt(path: Path):
+    xyzs, rgbs = [], []
+    for line in Path(path).read_text().splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        p = line.split()
+        xyzs.append([float(p[1]), float(p[2]), float(p[3])])
+        rgbs.append([float(p[4]), float(p[5]), float(p[6])])
+    return (
+        np.array(xyzs, np.float32),
+        np.array(rgbs, np.float32) / 255.0,
+        None,
+    )
+
+
 def read_model(sparse_dir: Path):
-    """(cameras, images, points_xyz, points_rgb) from a sparse/0 dir."""
+    """(cameras, images, points_xyz, points_rgb) from a COLMAP model dir —
+    binary preferred, text fallback (ScanNet++ ships txt)."""
     sparse_dir = Path(sparse_dir)
-    cams = read_cameras_bin(sparse_dir / "cameras.bin")
-    imgs = read_images_bin(sparse_dir / "images.bin")
-    pts_path = sparse_dir / "points3D.bin"
-    if pts_path.exists():
-        xyz, rgb, _ = read_points3d_bin(pts_path)
+    if (sparse_dir / "cameras.bin").exists():
+        cams = read_cameras_bin(sparse_dir / "cameras.bin")
+        imgs = read_images_bin(sparse_dir / "images.bin")
+        pts_path = sparse_dir / "points3D.bin"
+        xyz, rgb, _ = (
+            read_points3d_bin(pts_path) if pts_path.exists() else (None,) * 3
+        )
     else:
-        xyz = rgb = None
+        cams = read_cameras_txt(sparse_dir / "cameras.txt")
+        imgs = read_images_txt(sparse_dir / "images.txt")
+        pts_path = sparse_dir / "points3D.txt"
+        xyz, rgb, _ = (
+            read_points3d_txt(pts_path) if pts_path.exists() else (None,) * 3
+        )
     return cams, imgs, xyz, rgb

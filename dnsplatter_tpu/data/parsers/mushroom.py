@@ -1,0 +1,176 @@
+"""MuSHRoom dataset parser (parity: dn_splatter/data/mushroom_dataparser.py).
+
+Layout: <room>/<mode>/{long_capture, short_capture}/ with
+transformations.json (or transformations_colmap.json when Faro reference
+depths are used), images/, depth/, optional normals + depth_normals_mask;
+seed cloud from <room>/<mode>_pointcloud.ply.
+
+Eval protocols (mushroom_dataparser.py:66, 318-327):
+  within  train on long capture, eval on its test.txt frames
+  with    train on long capture, eval on the short capture
+  all     both eval sets concatenated
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from dnsplatter_tpu.data import io
+from dnsplatter_tpu.data.dataset import FrameSpec, SceneDataset
+from dnsplatter_tpu.data.parsers import register
+from dnsplatter_tpu.data.poses import (
+    apply_transform_to_points,
+    auto_orient_and_center_poses,
+    auto_scale,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MushroomParserConfig:
+    data: Path = Path(".")
+    mode: str = "iphone"  # or "kinect"
+    eval_mode: str = "with"  # with | within | all
+    load_depths: bool = True
+    load_normals: bool = True
+    load_depth_confidence_masks: bool = False
+    use_faro_scanner_depths: bool = False
+    auto_scale_poses: bool = True
+    orientation_method: str = "up"
+    center_method: str = "poses"
+    load_3D_points: bool = True
+    depth_unit_scale_factor: float = 1e-3
+    max_image_dim: int = 1600  # auto-downscale target (:868-886)
+
+
+def _load_capture(capture_dir: Path, cfg: MushroomParserConfig):
+    """Read one capture's transformations.json into FrameSpecs + poses."""
+    name = (
+        "transformations_colmap.json"
+        if cfg.use_faro_scanner_depths
+        else "transformations.json"
+    )
+    meta_path = capture_dir / name
+    if not meta_path.exists():
+        meta_path = capture_dir / "transformations.json"
+    meta = json.loads(meta_path.read_text())
+    frames = sorted(meta["frames"], key=lambda fr: fr["file_path"])
+
+    specs, poses = [], []
+    for fr in frames:
+        img = capture_dir / fr["file_path"]
+        if not img.exists():
+            continue
+        m = np.array(fr["transform_matrix"], np.float64)
+        if m.shape == (3, 4):
+            m = np.concatenate([m, [[0, 0, 0, 1]]], 0)
+        poses.append(m)
+        fx = fr.get("fl_x", meta.get("fl_x"))
+        fy = fr.get("fl_y", meta.get("fl_y"))
+        cx = fr.get("cx", meta.get("cx"))
+        cy = fr.get("cy", meta.get("cy"))
+        w = int(fr.get("w", meta.get("w")))
+        h = int(fr.get("h", meta.get("h")))
+        d = max(1, int(np.ceil(max(w, h) / cfg.max_image_dim)))
+        depth = None
+        if cfg.load_depths:
+            if "depth_file_path" in fr:
+                depth = capture_dir / fr["depth_file_path"]
+            else:
+                cand = capture_dir / "depth" / (Path(fr["file_path"]).stem + ".png")
+                depth = cand if cand.exists() else None
+        normal = None
+        if cfg.load_normals:
+            cand = (
+                capture_dir / "normals_from_pretrain"
+                / (Path(fr["file_path"]).stem + ".png")
+            )
+            normal = cand if cand.exists() else None
+        conf = None
+        if cfg.load_depth_confidence_masks:
+            cand = (
+                capture_dir / "depth_normals_mask"
+                / (Path(fr["file_path"]).stem + ".jpg")
+            )
+            conf = cand if cand.exists() else None
+        specs.append(
+            FrameSpec(
+                image_path=img,
+                c2w=m,  # replaced after global orientation
+                fx=fx / d, fy=fy / d, cx=cx / d, cy=cy / d,
+                width=w // d, height=h // d,
+                sensor_depth_path=depth,
+                normal_path=normal,
+                confidence_path=conf,
+            )
+        )
+    return specs, np.stack(poses) if poses else np.zeros((0, 4, 4))
+
+
+@register("mushroom")
+def parse(cfg: MushroomParserConfig, split: str = "train") -> SceneDataset:
+    base = Path(cfg.data) / cfg.mode
+    long_specs, long_poses = _load_capture(base / "long_capture", cfg)
+    short_specs, short_poses = _load_capture(base / "short_capture", cfg)
+
+    all_poses = np.concatenate([long_poses, short_poses])
+    all_poses, transform = auto_orient_and_center_poses(
+        all_poses, cfg.orientation_method, cfg.center_method
+    )
+    scale = 1.0
+    if cfg.auto_scale_poses:
+        all_poses, scale = auto_scale(all_poses)
+    specs = long_specs + short_specs
+    for s, p in zip(specs, all_poses):
+        s.c2w = p
+
+    n_long = len(long_specs)
+    # test.txt eval frames within the long capture (:285-306).
+    test_txt = base / "long_capture" / "test.txt"
+    test_names = set()
+    if test_txt.exists():
+        for line in test_txt.read_text().splitlines():
+            line = line.strip()
+            if line:
+                test_names.add(line)
+    is_test_long = np.array(
+        [sp.image_path.stem in test_names for sp in long_specs]
+    ) if n_long else np.zeros(0, bool)
+
+    i_train = [i for i in range(n_long) if not is_test_long[i]]
+    i_eval_within = [i for i in range(n_long) if is_test_long[i]]
+    i_eval_with = list(range(n_long, len(specs)))
+    if cfg.eval_mode == "within":
+        i_eval = i_eval_within
+    elif cfg.eval_mode == "with":
+        i_eval = i_eval_with
+    else:
+        i_eval = i_eval_within + i_eval_with
+
+    idx = i_train if split == "train" else i_eval
+    frames = [specs[i] for i in idx]
+
+    ds = SceneDataset(
+        frames=frames,
+        depth_unit_scale_factor=cfg.depth_unit_scale_factor,
+        dataparser_scale=scale,
+        normal_format="omnidata",
+    )
+    if cfg.load_3D_points:
+        ply = Path(cfg.data) / f"{cfg.mode}_pointcloud.ply"
+        if not ply.exists():
+            cands = list(Path(cfg.data).glob("*.ply"))
+            ply = cands[0] if cands else None
+        if ply and ply.exists():
+            cloud = io.read_ply(ply)
+            ds.seed_points = apply_transform_to_points(
+                cloud["points"], transform, scale
+            )
+            ds.seed_colors = cloud.get("colors")
+            if "normals" in cloud:
+                ds.seed_normals = cloud["normals"] @ transform[:3, :3].T
+    return ds

@@ -34,9 +34,10 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     params, alive = make_gt_gaussians(key, N_GAUSS, extent=1.5)
     cam = ring_cameras(1, width=WIDTH, img_height=HEIGHT, focal=900.0)[0]
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     cfg = RasterizeConfig(
-        width=WIDTH, height=HEIGHT, tile_size=16, chunk=64, tile_block=32,
-        pair_capacity=PAIR_CAPACITY,
+        width=WIDTH, height=HEIGHT, tile_size=16, chunk=128, tile_block=32,
+        pair_capacity=PAIR_CAPACITY, backend=backend,
     )
     model_cfg = ModelConfig()
     gt = jnp.zeros((HEIGHT, WIDTH, 3))

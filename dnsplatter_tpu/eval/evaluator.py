@@ -58,9 +58,12 @@ def evaluate(
         cam, batch = data.get(i)
         key = (cam.width, cam.height)
         if key not in render_fns:
+            backend = (
+                "pallas" if jax.default_backend() == "tpu" else "xla"
+            )
             cfg = RasterizeConfig(
                 width=cam.width, height=cam.height, tile_size=16, chunk=64,
-                tile_block=32, pair_capacity=pair_capacity,
+                tile_block=32, pair_capacity=pair_capacity, backend=backend,
             )
 
             @jax.jit

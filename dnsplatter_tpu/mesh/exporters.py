@@ -48,9 +48,13 @@ def _render_frames(params, alive, data, model_cfg, sh_degree,
         cam, _ = data.get(i)
         key = (cam.width, cam.height)
         if key not in fns:
+            backend = (
+                "pallas" if jax.default_backend() == "tpu" else "xla"
+            )
             cfg = RasterizeConfig(width=cam.width, height=cam.height,
                                   tile_size=16, chunk=64, tile_block=32,
-                                  pair_capacity=pair_capacity)
+                                  pair_capacity=pair_capacity,
+                                  backend=backend)
 
             @jax.jit
             def fwd(p, a, c, _cfg=cfg):

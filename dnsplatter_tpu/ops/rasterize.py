@@ -64,6 +64,7 @@ class RasterizeConfig(NamedTuple):
     chunk: int = 64
     tile_block: int = 32
     pair_capacity: int = 1 << 20
+    backend: str = "xla"  # "xla" (portable) | "pallas" (TPU kernels)
 
     @property
     def tiles_x(self) -> int:
@@ -84,6 +85,12 @@ class RasterizeConfig(NamedTuple):
     @property
     def n_tiles_padded(self) -> int:
         return self.n_blocks * self.tile_block
+
+    @property
+    def pair_capacity_aligned(self) -> int:
+        """Capacity of the chunk-aligned pair layout (pallas backend):
+        per-tile ranges round up to the chunk, worst case +chunk per tile."""
+        return self.pair_capacity + self.n_tiles_padded * self.chunk
 
 
 class _Binned(NamedTuple):
@@ -176,6 +183,47 @@ def bin_gaussians(
         tile_starts=tile_starts,
         total_pairs=total,
     )
+
+
+class _AlignedPairs(NamedTuple):
+    """Chunk-aligned pair layout for the Pallas kernels: every tile's pair
+    range starts at a multiple of `chunk`, so HBM chunk DMAs are provably
+    128-lane aligned (a Mosaic requirement for dynamic lane slices)."""
+
+    pair_gauss: jax.Array  # (C_pad,) sentinel-padded
+    pair_valid: jax.Array  # (C_pad,) bool
+    starts: jax.Array  # (T_padded + 1,) aligned offsets
+    counts: jax.Array  # (T_padded,) REAL per-tile pair counts
+
+
+def align_pairs(cfg: RasterizeConfig, binned: _Binned) -> _AlignedPairs:
+    k = cfg.chunk
+    c = cfg.pair_capacity
+    c_pad = cfg.pair_capacity_aligned
+    counts = binned.tile_starts[1:] - binned.tile_starts[:-1]  # (T_padded,)
+    padded = -(-counts // k) * k
+    starts_al = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
+    )
+    pos = jnp.arange(c, dtype=jnp.int32)
+    # tile of each sorted pair = searchsorted over the original boundaries
+    tile_of = (
+        jnp.searchsorted(binned.tile_starts, pos, side="right").astype(
+            jnp.int32
+        )
+        - 1
+    )
+    tile_of = jnp.clip(tile_of, 0, cfg.n_tiles_padded - 1)
+    new_pos = starts_al[tile_of] + (pos - binned.tile_starts[tile_of])
+    new_pos = jnp.where(binned.pair_valid, new_pos, c_pad)  # drop invalid
+    pg = jnp.zeros((c_pad,), jnp.int32).at[new_pos].set(
+        binned.pair_gauss, mode="drop"
+    )
+    pv = jnp.zeros((c_pad,), bool).at[new_pos].set(
+        binned.pair_valid, mode="drop"
+    )
+    return _AlignedPairs(pair_gauss=pg, pair_valid=pv, starts=starts_al,
+                         counts=counts)
 
 
 def _tile_pixel_coords(cfg: RasterizeConfig, tile_ids: jax.Array) -> jax.Array:
@@ -337,6 +385,10 @@ def _raster_fwd(cfg, means2d, conics, opacities, features, absgrad_sink,
     con_s = conics[binned.order]
     opac_s = jnp.where(validf[binned.order] > 0.5, opacities[binned.order], 0.0)
     feat_s = features[binned.order]
+    if cfg.backend == "pallas":
+        return _raster_fwd_pallas(cfg, binned,
+                                  (m2d_s, con_s, opac_s, feat_s),
+                                  means2d.shape[0])
     tiles_out, t_final, last = _rasterize_forward(
         cfg, binned, (m2d_s, con_s, opac_s, feat_s)
     )
@@ -347,7 +399,33 @@ def _raster_fwd(cfg, means2d, conics, opacities, features, absgrad_sink,
     return (image, alpha), residuals
 
 
+def _raster_fwd_pallas(cfg, binned, sorted_data, n):
+    from dnsplatter_tpu.ops import rasterize_pallas as rp
+
+    m2d_s, con_s, opac_s, feat_s = sorted_data
+    f = feat_s.shape[-1]
+    aligned = align_pairs(cfg, binned)
+    pg = aligned.pair_gauss
+    payload = rp.pack_payload(
+        m2d_s[pg], con_s[pg],
+        jnp.where(aligned.pair_valid, opac_s[pg], 0.0),
+        feat_s[pg], cfg.chunk,
+    )
+    out_t, tfin_t, last_t = rp.forward_tiles(
+        payload, aligned.starts, aligned.counts, cfg.n_tiles_padded, f,
+        cfg.tile_size, cfg.tiles_x, cfg.chunk,
+    )
+    image = _tiles_to_image(cfg, jnp.transpose(out_t, (0, 2, 1)))
+    alpha = _tiles_to_image(
+        cfg, jnp.transpose(1.0 - tfin_t, (0, 2, 1))
+    )
+    residuals = (binned, aligned, payload, tfin_t, last_t, n)
+    return (image, alpha), residuals
+
+
 def _raster_bwd(cfg, residuals, cotangents):
+    if cfg.backend == "pallas":
+        return _raster_bwd_pallas(cfg, residuals, cotangents)
     g_image, g_alpha = cotangents
     binned, m2d_s, con_s, opac_s, feat_s, t_final, last, n = residuals
     k = cfg.chunk
@@ -493,6 +571,48 @@ def _raster_bwd(cfg, residuals, cotangents):
         jnp.zeros((n,), jnp.float32),  # depths: sort order not differentiated
         jnp.zeros((n,), jnp.float32),  # radii
         jnp.zeros((n,), jnp.float32),  # validf
+    )
+
+
+def _raster_bwd_pallas(cfg, residuals, cotangents):
+    from dnsplatter_tpu.ops import rasterize_pallas as rp
+
+    g_image, g_alpha = cotangents
+    binned, aligned, payload, tfin_t, last_t, n = residuals
+    f = g_image.shape[-1]  # feature count == composited channel count
+
+    g_out_t = jnp.transpose(_image_to_tiles(cfg, g_image), (0, 2, 1))
+    g_alpha_t = jnp.transpose(_image_to_tiles(cfg, g_alpha), (0, 2, 1))
+
+    grads = rp.backward_tiles(
+        payload, aligned.starts, aligned.counts, g_out_t, g_alpha_t,
+        tfin_t, last_t,
+        cfg.n_tiles_padded, f, cfg.tile_size, cfg.tiles_x, cfg.chunk,
+    )
+    c = cfg.pair_capacity_aligned
+    # Columns of pairs never touched by any tile program hold uninitialized
+    # memory — select, don't multiply (0 * garbage can be NaN).
+    vals = jnp.where(
+        aligned.pair_valid[:, None], grads[:, :c].T, 0.0
+    )  # (C_pad, GW)
+    per_sorted = jax.ops.segment_sum(
+        vals, aligned.pair_gauss, num_segments=n
+    )  # (N, GW)
+
+    order = binned.order
+
+    def unsort(g):
+        return jnp.zeros_like(g).at[order].set(g)
+
+    return (
+        unsort(per_sorted[:, 0:2]),
+        unsort(per_sorted[:, 2:5]),
+        unsort(per_sorted[:, 5]),
+        unsort(per_sorted[:, 6:6 + f]),
+        unsort(per_sorted[:, rp.GW - 2:rp.GW]),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
     )
 
 

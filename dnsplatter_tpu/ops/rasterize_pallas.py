@@ -1,0 +1,407 @@
+"""Pallas TPU kernels for the tiled rasterizer hot loop.
+
+The XLA-composed rasterizer in ops/rasterize.py is the reference/fallback
+path; these kernels replace its per-tile compositing sweep (forward and
+backward) with hand-written Pallas — the TPU equivalent of gsplat's
+`rasterize_to_pixels` CUDA kernels. Design notes (TPU-first, not a CUDA
+translation):
+
+  * Per-pair Gaussian data is gathered ONCE in XLA into a transposed
+    (16, C) payload laid out field-major: each K-pair chunk is then a
+    contiguous lane-slice DMA (HBM->VMEM, double buffered), not a row
+    gather. Fields: [mx, my, conic_a, b, c, opacity, feat0..feat7, pad2].
+  * No cumulative primitives in-kernel: the exclusive transmittance scan
+    along the chunk axis becomes exp(log1p(-alpha) @ STRICT_UPPER_TRI) —
+    a (P, K) @ (K, K) matmul on the MXU. Suffix sums in the backward use
+    the strict-lower triangle the same way.
+  * The grid is (num_tiles,); programs run sequentially on the core with
+    pipelined output writes; tile pair-ranges come from a scalar-prefetch
+    offsets array (CSR layout from the shared binning stage).
+  * Backward writes per-PAIR gradients to an exclusive (16, C) slab (no
+    atomics; every pair owns a column); XLA reduces them per Gaussian
+    with a sorted segment-sum over the pre-sort pair order.
+
+Accumulators and tiles are (F|1, P=tile_size^2) so the lane dimension is
+256 — native f32 tiling. All math is f32; semantics identical to the
+oracle (alpha clamp 0.999, skip < 1/255, terminate at T <= 1e-4 with the
+tripping Gaussian excluded).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALPHA_THRESHOLD = 1.0 / 255.0
+MAX_ALPHA = 0.999
+TRANSMITTANCE_EPS = 1e-4
+
+PW = 16  # payload fields
+GW = 16  # gradient fields: [dmx,dmy,da,db,dc,dop,df0..df7,absx,absy]
+MAX_FEATS = 8
+
+
+def _interpret() -> bool:
+    """Run the kernels through the Pallas interpreter off-TPU (CPU tests)."""
+    return jax.default_backend() != "tpu"
+
+
+def pack_payload(means2d, conics, opacities, features, chunk: int):
+    """(16, C + K) field-major payload with a zero K-column tail so chunk
+    DMAs never run off the end (zero opacity => dead pairs)."""
+    c = means2d.shape[0]
+    f = features.shape[-1]
+    assert f <= MAX_FEATS, f"pallas path supports <= {MAX_FEATS} features"
+    cols = [means2d[:, 0], means2d[:, 1], conics[:, 0], conics[:, 1],
+            conics[:, 2], opacities]
+    cols += [features[:, i] for i in range(f)]
+    while len(cols) < PW:
+        cols.append(jnp.zeros((c,), jnp.float32))
+    pay = jnp.stack(cols, axis=0)  # (16, C)
+    return jnp.pad(pay, ((0, 0), (0, chunk)))
+
+
+def _tri(k: int, kind: str) -> jax.Array:
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    if kind == "strict_upper":  # M[j,k]=1 iff j<k  (exclusive prefix)
+        return (row < col).astype(jnp.float32)
+    if kind == "lower_incl":  # M[j,k]=1 iff j>=k (inclusive suffix)
+        return (row >= col).astype(jnp.float32)
+    if kind == "strict_lower":  # M[j,k]=1 iff j>k  (exclusive suffix)
+        return (row > col).astype(jnp.float32)
+    raise ValueError(kind)
+
+
+def _chunk_geometry(pay, px, py, jj, cnt):
+    """Shared alpha computation: returns (alpha, hit, dx, dy, sigma, consts)."""
+    mx = pay[0:1, :]
+    my = pay[1:2, :]
+    ca = pay[2:3, :]
+    cb = pay[3:4, :]
+    cc = pay[4:5, :]
+    op = pay[5:6, :]
+    dx = px - mx  # (P, K)
+    dy = py - my
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    ealpha = jnp.exp(-sigma)
+    alpha = jnp.minimum(MAX_ALPHA, op * ealpha)
+    hit = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD) & (jj < cnt)
+    return alpha, hit, dx, dy, sigma, ealpha, (ca, cb, cc, op)
+
+
+def _make_fwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
+    p = tile * tile
+
+    def kernel(starts_ref, counts_ref, payload_hbm, out_ref, tfin_ref,
+               last_ref, pay_vmem, sems):
+        t = pl.program_id(0)
+        start = pl.multiple_of(starts_ref[t], k)
+        cnt = counts_ref[t]
+        nchunks = pl.cdiv(cnt, k)
+
+        ty = t // tiles_x
+        tx = t % tiles_x
+        lid = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        px = (tx * tile + lid % tile).astype(jnp.float32) + 0.5
+        py = (ty * tile + lid // tile).astype(jnp.float32) + 0.5
+
+        jrow = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        tri_upper = _tri(k, "strict_upper")
+
+        def dma(slot, ci):
+            return pltpu.make_async_copy(
+                payload_hbm.at[:, pl.ds(start + ci * k, k)],
+                pay_vmem.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(nchunks > 0)
+        def _():
+            dma(0, 0).start()
+
+        def body(ci, carry):
+            t_run, out, done, last = carry
+            slot = ci % 2
+
+            @pl.when(ci + 1 < nchunks)
+            def _():
+                dma((ci + 1) % 2, ci + 1).start()
+
+            dma(slot, ci).wait()
+            pay = pay_vmem[slot]  # (PW, K)
+            jj = ci * k + jrow
+            alpha, hit, _, _, _, _, _ = _chunk_geometry(pay, px, py, jj, cnt)
+            alpha_eff = jnp.where(hit, alpha, 0.0)
+
+            lg = jnp.log1p(-alpha_eff)  # (P, K)
+            excl = jnp.dot(lg, tri_upper, preferred_element_type=jnp.float32)
+            t_prev = t_run * jnp.exp(excl)
+            next_t = t_prev * (1.0 - alpha_eff)
+            would_term = hit & (next_t <= TRANSMITTANCE_EPS)
+            n_term_before = jnp.dot(
+                would_term.astype(jnp.float32), tri_upper,
+                preferred_element_type=jnp.float32,
+            )
+            accept = hit & (done <= 0.0) & (n_term_before <= 0.0) & ~would_term
+            w = jnp.where(accept, alpha * t_prev, 0.0)  # (P, K)
+
+            feats = pay[6:6 + n_feats, :]  # (F, K)
+            out = out + jax.lax.dot_general(
+                feats, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (F, P)
+
+            l_acc = jnp.log1p(-jnp.where(accept, alpha, 0.0))
+            t_run = t_run * jnp.exp(jnp.sum(l_acc, axis=1, keepdims=True))
+            done = jnp.maximum(
+                done,
+                jnp.max(would_term.astype(jnp.float32), axis=1, keepdims=True),
+            )
+            last = jnp.maximum(
+                last, jnp.max(jnp.where(accept, jj, -1), axis=1, keepdims=True)
+            )
+            return t_run, out, done, last
+
+        init = (
+            jnp.ones((p, 1), jnp.float32),
+            jnp.zeros((n_feats, p), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32),
+            jnp.full((p, 1), -1, jnp.int32),
+        )
+        t_run, out, done, last = jax.lax.fori_loop(0, nchunks, body, init)
+        out_ref[0] = out
+        tfin_ref[0] = t_run.reshape(1, p)
+        last_ref[0] = last.reshape(1, p)
+
+    return kernel
+
+
+def forward_tiles(
+    payload: jax.Array,  # (16, C_pad + K)
+    tile_starts: jax.Array,  # (T_padded + 1,) chunk-aligned offsets
+    tile_counts: jax.Array,  # (T_padded,) real per-tile pair counts
+    n_tiles: int,
+    n_feats: int,
+    tile: int,
+    tiles_x: int,
+    chunk: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (out (T, F, P), t_final (T, 1, P), last (T, 1, P) int32)."""
+    p = tile * tile
+    kernel = _make_fwd_kernel(n_feats, chunk, tile, tiles_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, n_feats, p), lambda t, s1, s2: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda t, s1, s2: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda t, s1, s2: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, PW, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, n_feats, p), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(tile_starts, tile_counts, payload)
+
+
+def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
+    p = tile * tile
+
+    def kernel(starts_ref, counts_ref, payload_hbm, g_out_ref, g_alpha_ref,
+               tfin_ref, last_ref, grad_hbm, pay_vmem, grad_vmem, sems,
+               gsem):
+        t = pl.program_id(0)
+        start = pl.multiple_of(starts_ref[t], k)
+        cnt = counts_ref[t]
+        nchunks = pl.cdiv(cnt, k)
+
+        ty = t // tiles_x
+        tx = t % tiles_x
+        lid = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        px = (tx * tile + lid % tile).astype(jnp.float32) + 0.5
+        py = (ty * tile + lid // tile).astype(jnp.float32) + 0.5
+
+        jrow = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        tri_low_incl = _tri(k, "lower_incl")
+        tri_low_strict = _tri(k, "strict_lower")
+
+        g_out = g_out_ref[0]  # (F, P)
+        g_alpha_pix = g_alpha_ref[0]  # (1, P)
+        t_fin = tfin_ref[0]  # (1, P)
+        last = last_ref[0]  # (1, P) int32
+        # per-pixel column vectors
+        g_alpha_c = g_alpha_pix.reshape(p, 1)
+        t_fin_c = t_fin.reshape(p, 1)
+        last_c = last.reshape(p, 1)
+
+        def dma_in(slot, ci):
+            return pltpu.make_async_copy(
+                payload_hbm.at[:, pl.ds(start + ci * k, k)],
+                pay_vmem.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(nchunks > 0)
+        def _():
+            dma_in(0, nchunks - 1).start()
+
+        def body(i, carry):
+            t_back, sacc = carry
+            ci = nchunks - 1 - i
+            slot = i % 2
+
+            @pl.when(i + 1 < nchunks)
+            def _():
+                dma_in((i + 1) % 2, ci - 1).start()
+
+            dma_in(slot, ci).wait()
+            pay = pay_vmem[slot]
+            jj = ci * k + jrow
+            alpha, hit, dx, dy, sigma, ealpha, (ca, cb, cc, op) = (
+                _chunk_geometry(pay, px, py, jj, cnt)
+            )
+            accept = hit & (jj <= last_c)
+            alpha_eff = jnp.where(accept, alpha, 0.0)
+            lr = -jnp.log1p(-alpha_eff)  # log(1/(1-a)) >= 0
+            suf = jnp.exp(
+                jnp.dot(lr, tri_low_incl, preferred_element_type=jnp.float32)
+            )
+            t_entry = t_back * suf
+            w = alpha_eff * t_entry  # (P, K)
+
+            feats = pay[6:6 + n_feats, :]  # (F, K)
+            # fg[p,k] = sum_c g_out[c,p] * feats[c,k]
+            fg = jax.lax.dot_general(
+                g_out, feats, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(p, k)
+            wfg = w * fg
+            q = (
+                jnp.dot(wfg, tri_low_strict,
+                        preferred_element_type=jnp.float32)
+                + sacc
+            )
+            rcp = jnp.exp(lr)  # 1/(1-alpha_eff)
+            g_alpha_k = jnp.where(
+                accept,
+                t_entry * fg - q * rcp + g_alpha_c * t_fin_c * rcp,
+                0.0,
+            )
+            not_capped = (alpha < MAX_ALPHA).astype(jnp.float32)
+            g_sigma = -alpha * g_alpha_k * not_capped  # accept via g_alpha_k
+
+            # per-pair reductions over pixels (sublane axis)
+            g_a = jnp.sum(g_sigma * 0.5 * dx * dx, axis=0, keepdims=True)
+            g_b = jnp.sum(g_sigma * dx * dy, axis=0, keepdims=True)
+            g_c = jnp.sum(g_sigma * 0.5 * dy * dy, axis=0, keepdims=True)
+            g_mx_pk = -g_sigma * (ca * dx + cb * dy)
+            g_my_pk = -g_sigma * (cc * dy + cb * dx)
+            g_mx = jnp.sum(g_mx_pk, axis=0, keepdims=True)
+            g_my = jnp.sum(g_my_pk, axis=0, keepdims=True)
+            g_op = jnp.sum(
+                g_alpha_k * ealpha * not_capped, axis=0, keepdims=True
+            )
+            # dL/dfeat[c,k] = sum_p g_out[c,p] w[p,k]
+            g_feat = jnp.dot(g_out, w, preferred_element_type=jnp.float32)
+
+            grad_vmem[0:1] = g_mx
+            grad_vmem[1:2] = g_my
+            grad_vmem[2:3] = g_a
+            grad_vmem[3:4] = g_b
+            grad_vmem[4:5] = g_c
+            grad_vmem[5:6] = g_op
+            grad_vmem[6:6 + n_feats] = g_feat
+            for z in range(6 + n_feats, GW - 2):
+                grad_vmem[z:z + 1] = jnp.zeros((1, k), jnp.float32)
+            grad_vmem[GW - 2:GW - 1] = jnp.abs(g_mx)
+            grad_vmem[GW - 1:GW] = jnp.abs(g_my)
+
+            copy = pltpu.make_async_copy(
+                grad_vmem,
+                grad_hbm.at[:, pl.ds(start + ci * k, k)],
+                gsem,
+            )
+            copy.start()
+            copy.wait()
+
+            t_back = t_back * jnp.exp(jnp.sum(lr, axis=1, keepdims=True))
+            sacc = sacc + jnp.sum(wfg, axis=1, keepdims=True)
+            return t_back, sacc
+
+        init = (t_fin_c, jnp.zeros((p, 1), jnp.float32))
+        jax.lax.fori_loop(0, nchunks, body, init)
+
+    return kernel
+
+
+def backward_tiles(
+    payload: jax.Array,  # (16, C_pad + K)
+    tile_starts: jax.Array,
+    tile_counts: jax.Array,
+    g_out_tiles: jax.Array,  # (T, F, P)
+    g_alpha_tiles: jax.Array,  # (T, 1, P)
+    tfin_tiles: jax.Array,  # (T, 1, P)
+    last_tiles: jax.Array,  # (T, 1, P) int32
+    n_tiles: int,
+    n_feats: int,
+    tile: int,
+    tiles_x: int,
+    chunk: int,
+) -> jax.Array:
+    """Returns per-pair gradients (16, C + K); columns of untouched pairs
+    are whatever was in memory — mask with pair_valid afterwards."""
+    p = tile * tile
+    kernel = _make_bwd_kernel(n_feats, chunk, tile, tiles_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # payload
+            pl.BlockSpec((1, n_feats, p), lambda t, s1, s2: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda t, s1, s2: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda t, s1, s2: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda t, s1, s2: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, PW, chunk), jnp.float32),
+            pltpu.VMEM((GW, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    (grads,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((GW, payload.shape[1]), jnp.float32)
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
+    )(tile_starts, tile_counts, payload, g_out_tiles, g_alpha_tiles,
+      tfin_tiles, last_tiles)
+    return grads

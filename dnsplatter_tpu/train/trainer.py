@@ -56,6 +56,7 @@ class TrainConfig:
     tile_size: int = 16
     chunk: int = 64
     tile_block: int = 32
+    backend: str = "auto"  # auto -> pallas kernels on TPU, xla elsewhere
 
 
 def make_train_step(
@@ -159,6 +160,9 @@ class Trainer:
 
     def _raster_cfg(self, camera: Camera) -> RasterizeConfig:
         tc = self.train_cfg
+        backend = tc.backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         return RasterizeConfig(
             width=camera.width,
             height=camera.height,
@@ -166,6 +170,7 @@ class Trainer:
             chunk=tc.chunk,
             tile_block=tc.tile_block,
             pair_capacity=tc.pair_capacity,
+            backend=backend,
         )
 
     def _get_step_fn(self, camera: Camera, sh_degree: int) -> Callable:

@@ -1,0 +1,82 @@
+"""Pallas rasterizer backend vs the XLA path (interpret mode on CPU).
+
+The XLA path is oracle-verified (test_rasterize.py); the Pallas kernels
+must match it bit-for-bit-ish on both the forward images and every
+gradient, including the absgrad sink.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dnsplatter_tpu.ops.projection import project_gaussians
+from dnsplatter_tpu.ops.quat import random_quats
+from dnsplatter_tpu.ops.rasterize import RasterizeConfig, rasterize
+
+
+def make_scene(key, n=300, width=64, height=48, f=4):
+    ks = jax.random.split(key, 6)
+    means = jax.random.uniform(ks[0], (n, 3), minval=-1.5, maxval=1.5)
+    means = means.at[:, 2].set(means[:, 2] + 4.0)
+    quats = random_quats(ks[1], n)
+    scales = jnp.exp(jax.random.uniform(ks[2], (n, 3), minval=-3.5, maxval=-1.2))
+    opac = jax.random.uniform(ks[3], (n,), minval=0.2, maxval=0.95)
+    feats = jax.random.uniform(ks[4], (n, f))
+    proj = project_gaussians(
+        means, quats, scales, jnp.eye(4), 60.0, 60.0, width / 2, height / 2,
+        width, height,
+    )
+    return proj, opac, feats
+
+
+@pytest.mark.parametrize("wh", [(64, 48), (53, 37)])
+def test_pallas_forward_matches_xla(wh):
+    width, height = wh
+    proj, opac, feats = make_scene(jax.random.PRNGKey(0), width=width,
+                                   height=height)
+    base = RasterizeConfig(width=width, height=height, tile_size=16,
+                           chunk=32, tile_block=4, pair_capacity=1 << 14)
+    outs = {}
+    for backend in ("xla", "pallas"):
+        cfg = base._replace(backend=backend)
+        outs[backend] = rasterize(
+            proj.means2d, proj.conics, proj.depths, opac, feats, proj.valid,
+            cfg, radii=proj.radii,
+        )
+    np.testing.assert_allclose(np.asarray(outs["xla"][0]),
+                               np.asarray(outs["pallas"][0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs["xla"][1]),
+                               np.asarray(outs["pallas"][1]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_backward_matches_xla():
+    width, height = 48, 32
+    proj, opac, feats = make_scene(jax.random.PRNGKey(1), n=250, width=width,
+                                   height=height)
+    base = RasterizeConfig(width=width, height=height, tile_size=16,
+                           chunk=16, tile_block=2, pair_capacity=1 << 13)
+    w_img = jax.random.normal(jax.random.PRNGKey(7), (height, width, 4))
+    w_a = jax.random.normal(jax.random.PRNGKey(8), (height, width, 1))
+    sink = jnp.zeros_like(proj.means2d)
+
+    def loss(cfg, m, c, o, ft, s):
+        img, a = rasterize(m, c, proj.depths, o, ft, proj.valid, cfg,
+                           absgrad_sink=s, radii=proj.radii)
+        return jnp.sum(img * w_img) + jnp.sum(a * w_a)
+
+    grads = {}
+    for backend in ("xla", "pallas"):
+        cfg = base._replace(backend=backend)
+        grads[backend] = jax.grad(
+            lambda *a: loss(cfg, *a), argnums=(0, 1, 2, 3, 4)
+        )(proj.means2d, proj.conics, opac, feats, sink)
+
+    names = ["means2d", "conics", "opacities", "features", "absgrad"]
+    for name, gx, gp in zip(names, grads["xla"], grads["pallas"]):
+        gx, gp = np.asarray(gx), np.asarray(gp)
+        scale = max(np.abs(gx).max(), 1e-6)
+        np.testing.assert_allclose(gp / scale, gx / scale, rtol=1e-4,
+                                   atol=1e-5, err_msg=name)

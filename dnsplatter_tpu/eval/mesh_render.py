@@ -47,9 +47,12 @@ def _raster_chunk(v0, v1, v2, zbuf, fx, fy, cx, cy, width, height, win):
     py = pyi.astype(jnp.float32) + 0.5
 
     def edge(a, b):
-        return (px - a[:, None, None, 0]) * (
-            b[:, None, None, 1] - a[:, None, None, 1]
-        ) - (py - a[:, None, None, 1]) * (b[:, None, None, 0] - a[:, None, None, 0])
+        # cross(b - a, p - a): positive for p left of a->b (ccw weight)
+        return (b[:, None, None, 0] - a[:, None, None, 0]) * (
+            py - a[:, None, None, 1]
+        ) - (b[:, None, None, 1] - a[:, None, None, 1]) * (
+            px - a[:, None, None, 0]
+        )
 
     w0 = edge(p1, p2)
     w1 = edge(p2, p0)

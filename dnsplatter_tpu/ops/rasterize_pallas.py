@@ -140,13 +140,14 @@ def _make_fwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
             alpha_eff = jnp.where(hit, alpha, 0.0)
 
             lg = jnp.log1p(-alpha_eff)  # (P, K)
-            excl = jnp.dot(lg, tri_upper, preferred_element_type=jnp.float32)
+            excl = jnp.dot(lg, tri_upper, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
             t_prev = t_run * jnp.exp(excl)
             next_t = t_prev * (1.0 - alpha_eff)
             would_term = hit & (next_t <= TRANSMITTANCE_EPS)
             n_term_before = jnp.dot(
                 would_term.astype(jnp.float32), tri_upper,
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             accept = hit & (done <= 0.0) & (n_term_before <= 0.0) & ~would_term
             w = jnp.where(accept, alpha * t_prev, 0.0)  # (P, K)
@@ -155,6 +156,7 @@ def _make_fwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
             out = out + jax.lax.dot_general(
                 feats, w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (F, P)
 
             l_acc = jnp.log1p(-jnp.where(accept, alpha, 0.0))
@@ -284,7 +286,7 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
             alpha_eff = jnp.where(accept, alpha, 0.0)
             lr = -jnp.log1p(-alpha_eff)  # log(1/(1-a)) >= 0
             suf = jnp.exp(
-                jnp.dot(lr, tri_low_incl, preferred_element_type=jnp.float32)
+                jnp.dot(lr, tri_low_incl, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
             )
             t_entry = t_back * suf
             w = alpha_eff * t_entry  # (P, K)
@@ -294,11 +296,12 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
             fg = jax.lax.dot_general(
                 g_out, feats, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             ).reshape(p, k)
             wfg = w * fg
             q = (
                 jnp.dot(wfg, tri_low_strict,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
                 + sacc
             )
             rcp = jnp.exp(lr)  # 1/(1-alpha_eff)
@@ -322,7 +325,7 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
                 g_alpha_k * ealpha * not_capped, axis=0, keepdims=True
             )
             # dL/dfeat[c,k] = sum_p g_out[c,p] w[p,k]
-            g_feat = jnp.dot(g_out, w, preferred_element_type=jnp.float32)
+            g_feat = jnp.dot(g_out, w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
             grad_vmem[0:1] = g_mx
             grad_vmem[1:2] = g_my

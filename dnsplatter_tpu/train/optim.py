@@ -24,7 +24,8 @@ from dnsplatter_tpu.models.gaussians import GaussianParams
 class AdamState(NamedTuple):
     mu: GaussianParams  # first moments, same pytree as params
     nu: GaussianParams  # second moments
-    count: jax.Array  # () int32 step counter
+    count: GaussianParams  # per-field () int32 apply counters
+    accum: GaussianParams  # per-field gradient accumulators
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,12 +42,26 @@ class OptimConfig:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-15
+    # per-group gradient accumulation: the reference steps the "color"
+    # (features_dc) and "shs" (features_rest) Adam groups only every 10
+    # iterations with summed gradients (dn_config.py:22).
+    accum_features_dc: int = 10
+    accum_features_rest: int = 10
+
+    def accum_steps(self) -> GaussianParams:
+        """Per-field accumulation windows as a GaussianParams of ints."""
+        return GaussianParams(
+            means=1, scales=1, quats=1,
+            features_dc=self.accum_features_dc,
+            features_rest=self.accum_features_rest,
+            opacities=1, normals=1,
+        )
 
 
 def init_adam(params: GaussianParams) -> AdamState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    return AdamState(mu=zeros, nu=jax.tree.map(jnp.zeros_like, params),
-                     count=jnp.zeros((), jnp.int32))
+    zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+    counts = jax.tree.map(lambda _: jnp.zeros((), jnp.int32), params)
+    return AdamState(mu=zeros(), nu=zeros(), count=counts, accum=zeros())
 
 
 def lr_tree(cfg: OptimConfig, step: jax.Array) -> GaussianParams:
@@ -73,45 +88,70 @@ def adam_step(
     state: AdamState,
     step: jax.Array,
 ) -> tuple[GaussianParams, AdamState]:
-    count = state.count + 1
-    cf = count.astype(jnp.float32)
-    bc1 = 1.0 - cfg.b1**cf
-    bc2 = 1.0 - cfg.b2**cf
-    lrs = lr_tree(cfg, step)
+    """Adam with per-field gradient accumulation.
 
-    new_m = jax.tree.map(
-        lambda m, g: cfg.b1 * m + (1.0 - cfg.b1) * g, state.mu, grads
-    )
-    new_v = jax.tree.map(
-        lambda v, g: cfg.b2 * v + (1.0 - cfg.b2) * g * g, state.nu, grads
-    )
-    new_p = jax.tree.map(
-        lambda p, m, v, lr: p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + cfg.eps),
-        params, new_m, new_v, lrs,
-    )
-    return new_p, AdamState(mu=new_m, nu=new_v, count=count)
+    Fields with window N accumulate gradients and apply one Adam update
+    (with its own bias-correction counter) every Nth call; N=1 fields
+    behave like plain Adam.
+    """
+    lrs = lr_tree(cfg, step)
+    windows = cfg.accum_steps()
+
+    def upd(p, g, m, v, cnt, acc, lr, n):
+        acc = acc + g
+        apply = ((step + 1) % n == 0) if n > 1 else jnp.bool_(True)
+        cnt_new = jnp.where(apply, cnt + 1, cnt)
+        cf = jnp.maximum(cnt_new.astype(jnp.float32), 1.0)
+        bc1 = 1.0 - cfg.b1**cf
+        bc2 = 1.0 - cfg.b2**cf
+        m_new = jnp.where(apply, cfg.b1 * m + (1.0 - cfg.b1) * acc, m)
+        v_new = jnp.where(apply, cfg.b2 * v + (1.0 - cfg.b2) * acc * acc, v)
+        p_new = jnp.where(
+            apply,
+            p - lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + cfg.eps),
+            p,
+        )
+        acc_new = jnp.where(apply, jnp.zeros_like(acc), acc)
+        return p_new, m_new, v_new, cnt_new, acc_new
+
+    fields = list(GaussianParams.__dataclass_fields__)
+    outs = {}
+    for f in fields:
+        outs[f] = upd(
+            getattr(params, f), getattr(grads, f), getattr(state.mu, f),
+            getattr(state.nu, f), getattr(state.count, f),
+            getattr(state.accum, f), getattr(lrs, f),
+            getattr(windows, f),
+        )
+    new_p = GaussianParams(**{f: outs[f][0] for f in fields})
+    new_m = GaussianParams(**{f: outs[f][1] for f in fields})
+    new_v = GaussianParams(**{f: outs[f][2] for f in fields})
+    new_c = GaussianParams(**{f: outs[f][3] for f in fields})
+    new_a = GaussianParams(**{f: outs[f][4] for f in fields})
+    return new_p, AdamState(mu=new_m, nu=new_v, count=new_c, accum=new_a)
 
 
 def zero_moments_at(state: AdamState, idx: jax.Array) -> AdamState:
-    """Zero Adam moments at Gaussian slots `idx` (drop-mode scatter) — the
-    densification optimizer surgery (dn_model.py:365-382)."""
+    """Zero Adam moments (and pending accumulators) at Gaussian slots
+    `idx` (drop-mode scatter) — the densification optimizer surgery
+    (dn_model.py:365-382)."""
     def z(x):
         zeros = jnp.zeros((idx.shape[0],) + x.shape[1:], x.dtype)
         return x.at[idx].set(zeros, mode="drop")
 
     return AdamState(
         mu=jax.tree.map(z, state.mu), nu=jax.tree.map(z, state.nu),
-        count=state.count,
+        count=state.count, accum=jax.tree.map(z, state.accum),
     )
 
 
 def zero_moments_field(state: AdamState, field: str) -> AdamState:
     """Zero ALL moments of one field (opacity-reset surgery,
     dn_model.py:375-382)."""
-    mu = dataclasses.replace(
-        state.mu, **{field: jnp.zeros_like(getattr(state.mu, field))}
-    )
-    nu = dataclasses.replace(
-        state.nu, **{field: jnp.zeros_like(getattr(state.nu, field))}
-    )
-    return AdamState(mu=mu, nu=nu, count=state.count)
+    def zf(tree):
+        return dataclasses.replace(
+            tree, **{field: jnp.zeros_like(getattr(tree, field))}
+        )
+
+    return AdamState(mu=zf(state.mu), nu=zf(state.nu), count=state.count,
+                     accum=zf(state.accum))

@@ -178,6 +178,7 @@ def densify_and_cull(
         mu=jax.tree.map(zmom, adam.mu),
         nu=jax.tree.map(zmom, adam.nu),
         count=adam.count,
+        accum=jax.tree.map(zmom, adam.accum),
     )
 
     stats_new = init_stats(capacity)

@@ -263,7 +263,8 @@ class Trainer:
         for f in self.adam.mu.__dataclass_fields__:
             flat[f"adam.mu.{f}"] = np.asarray(getattr(self.adam.mu, f))
             flat[f"adam.nu.{f}"] = np.asarray(getattr(self.adam.nu, f))
-        flat["adam.count"] = np.asarray(self.adam.count)
+            flat[f"adam.count.{f}"] = np.asarray(getattr(self.adam.count, f))
+            flat[f"adam.accum.{f}"] = np.asarray(getattr(self.adam.accum, f))
         np.savez_compressed(path, **flat)
         meta = dataclasses.asdict(self.model_cfg)
         (path.parent / "config.json").write_text(json.dumps(meta, indent=2))
@@ -278,15 +279,14 @@ class Trainer:
         self.params = GaussianParams(**fields)
         self.alive = jnp.asarray(z["alive"])
         self.step = int(z["step"])
-        mu = GaussianParams(**{
-            f: jnp.asarray(z[f"adam.mu.{f}"])
-            for f in GaussianParams.__dataclass_fields__
-        })
-        nu = GaussianParams(**{
-            f: jnp.asarray(z[f"adam.nu.{f}"])
-            for f in GaussianParams.__dataclass_fields__
-        })
-        self.adam = AdamState(mu=mu, nu=nu, count=jnp.asarray(z["adam.count"]))
+        def tree(prefix):
+            return GaussianParams(**{
+                f: jnp.asarray(z[f"adam.{prefix}.{f}"])
+                for f in GaussianParams.__dataclass_fields__
+            })
+
+        self.adam = AdamState(mu=tree("mu"), nu=tree("nu"),
+                              count=tree("count"), accum=tree("accum"))
         self.stats = init_stats(self.params.capacity)
 
 

@@ -121,7 +121,7 @@ def cmd_eval(argv):
 def cmd_export(argv):
     p = argparse.ArgumentParser(prog="export")
     p.add_argument("mode", choices=["tsdf", "o3dtsdf", "dn", "gaussians",
-                                    "sugar-coarse", "marching"])
+                                    "sugar-coarse", "marching", "isofusion"])
     p.add_argument("--checkpoint", type=Path, required=True)
     p.add_argument("--method", default="dn-splatter")
     p.add_argument("--dataparser", default="normal-nerfstudio")
@@ -149,6 +149,9 @@ def cmd_export(argv):
     elif args.mode == "sugar-coarse":
         out = E.export_sugar_coarse(params, alive, data, args.output_dir,
                                     model_cfg)
+    elif args.mode == "isofusion":
+        out = E.export_isofusion(params, alive, data, args.output_dir,
+                                 model_cfg, voxel_size=args.voxel_size)
     else:
         out = E.export_marching(params, alive, data, args.output_dir,
                                 resolution=args.resolution)

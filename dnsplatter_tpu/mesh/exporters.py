@@ -228,6 +228,46 @@ def export_sugar_coarse(params, alive, data, output_dir: Path,
     return last
 
 
+def export_isofusion(params, alive, data, output_dir: Path,
+                     model_cfg: ModelConfig = ModelConfig(),
+                     sh_degree: int = 3,
+                     voxel_size: float = 0.02,
+                     depth_max: float = 5.0) -> Path:
+    """AGS-Mesh two-pass normal-weighted fusion (isooctree_dn.py role):
+    render depth + surface normals per train camera, fuse with
+    reference-normal weighting and back-face masking, extract the
+    isosurface."""
+    from dnsplatter_tpu.mesh.isofusion import (
+        IsoFusionConfig, extract, fuse_normal_weighted,
+    )
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    frames = []
+    cams = []
+    for cam, out in _render_frames(params, alive, data, model_cfg, sh_degree):
+        cams.append(cam)
+        depth = np.asarray(out["depth"])
+        depth = np.where(depth < depth_max, depth, 0.0)
+        c2w_cv = np.asarray(cam.c2w) @ np.diag([1.0, -1.0, -1.0, 1.0])
+        n_cam = 2.0 * np.asarray(out["surface_normal"]) - 1.0
+        n_cam = n_cam * np.array([1.0, -1.0, -1.0])
+        n_world = n_cam @ c2w_cv[:3, :3].T
+        frames.append(
+            dict(depth=depth, normal_w=n_world, c2w_gl=np.asarray(cam.c2w),
+                 fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx),
+                 cy=float(cam.cy))
+        )
+    bounds = tsdf_lib.scene_bounds_from_cameras(cams, depth_max)
+    vol = fuse_normal_weighted(
+        frames, bounds, IsoFusionConfig(voxel_size=voxel_size)
+    )
+    verts, faces, cols = extract(vol)
+    out_path = output_dir / "IsoFusion_mesh.ply"
+    io.write_ply(out_path, verts, colors=cols, faces=faces)
+    return out_path
+
+
 def export_marching(params, alive, data, output_dir: Path,
                     resolution: int = 256, level: float = 0.5,
                     padding: float = 0.1) -> Path:

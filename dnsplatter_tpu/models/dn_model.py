@@ -96,6 +96,7 @@ class ModelConfig:
     background_color: str = "random"
     num_random: int = 500_000
     random_scale: float = 10.0
+    camera_optimizer_mode: str = "off"  # "off" | "SO3xR3" (dn_model.py:116)
 
     def regularization(self) -> RegularizationConfig:
         return RegularizationConfig(

@@ -69,6 +69,8 @@ def make_train_step(
 
     max_size = float(max(raster_cfg.width, raster_cfg.height))
 
+    use_cam_opt = model_cfg.camera_optimizer_mode != "off"
+
     @jax.jit
     def step_fn(
         params: GaussianParams,
@@ -79,25 +81,31 @@ def make_train_step(
         batch: Dict[str, jax.Array],
         step: jax.Array,
         key: jax.Array,
+        cam_adj: jax.Array,  # (6,) this camera's pose tangent (zeros if off)
     ):
         kbg, kloss = jax.random.split(key)
         params = apply_binary_opacities(params, alive, model_cfg, step)
         sink = jnp.zeros_like(params.means[:, :2])
 
-        def loss_fn(p, abs_sink):
+        def loss_fn(p, abs_sink, adj):
+            cam = camera
+            if use_cam_opt:
+                from dnsplatter_tpu.models.camera_opt import apply_adjustment
+
+                cam = apply_adjustment(camera, adj)
             outputs, info = get_outputs(
-                p, alive, camera, model_cfg, raster_cfg,
+                p, alive, cam, model_cfg, raster_cfg,
                 sh_degree=sh_degree, absgrad_sink=abs_sink,
                 training=True, rng=kbg,
             )
             loss, ld = compute_loss(
-                outputs, batch, p, alive, camera, model_cfg, step, kloss
+                outputs, batch, p, alive, cam, model_cfg, step, kloss
             )
             return loss, (ld, info)
 
-        (loss, (loss_dict, info)), (gparams, gabs) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(params, sink)
+        (loss, (loss_dict, info)), (gparams, gabs, gadj) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(params, sink, cam_adj)
 
         # Freeze dead capacity-padding slots.
         am = alive
@@ -106,7 +114,7 @@ def make_train_step(
         )
         new_params, new_adam = adam_step(optim_cfg, params, gparams, adam, step)
         new_stats = update_stats(stats, gabs, info.radii, info.valid, max_size)
-        return new_params, new_adam, new_stats, loss, loss_dict
+        return new_params, new_adam, new_stats, loss, loss_dict, gadj
 
     return step_fn
 
@@ -157,6 +165,14 @@ class Trainer:
         self.step = 0
         self._step_fns: Dict[Tuple[int, int, int], Callable] = {}
         self._history: list = []
+        # Camera pose optimizer state (SO3xR3 tangents + its own Adam,
+        # lr 1e-3 -> 5e-5 with 100-step accumulation, dn_config.py:57-61).
+        n_cams = len(data)
+        self.cam_adj = jnp.zeros((max(n_cams, 1), 6))
+        self._cam_mu = np.zeros((max(n_cams, 1), 6))
+        self._cam_nu = np.zeros((max(n_cams, 1), 6))
+        self._cam_accum = np.zeros((max(n_cams, 1), 6))
+        self._cam_count = 0
 
     def _raster_cfg(self, camera: Camera) -> RasterizeConfig:
         tc = self.train_cfg
@@ -220,10 +236,14 @@ class Trainer:
             fn = self._get_step_fn(cam, sh)
             self.key, kstep = jax.random.split(self.key)
             batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
-            self.params, self.adam, self.stats, loss, ld = fn(
+            cam_i = self.step % n
+            self.params, self.adam, self.stats, loss, ld, gadj = fn(
                 self.params, self.alive, self.adam, self.stats, cam, batch_j,
                 jnp.asarray(self.step, jnp.int32), kstep,
+                self.cam_adj[cam_i],
             )
+            if self.model_cfg.camera_optimizer_mode != "off":
+                self._cam_opt_update(cam_i, np.asarray(gadj))
             self.step += 1
             self._refinement(cam)
             if self.step % log_every == 0 or self.step == total:
@@ -249,6 +269,27 @@ class Trainer:
             self.save_checkpoint()
         return self._history
 
+    def _cam_opt_update(self, cam_i: int, grad: np.ndarray,
+                        accum_steps: int = 100) -> None:
+        """Host-side Adam for the camera tangents (tiny state; lr schedule
+        1e-3 -> 5e-5 over max_steps, applied every `accum_steps`)."""
+        self._cam_accum[cam_i] += grad
+        if (self.step + 1) % accum_steps != 0:
+            return
+        self._cam_count += 1
+        b1, b2, eps = 0.9, 0.999, 1e-15
+        frac = min(self.step / self.optim_cfg.max_steps, 1.0)
+        lr = 1e-3 * (5e-5 / 1e-3) ** frac
+        g = self._cam_accum
+        self._cam_mu = b1 * self._cam_mu + (1 - b1) * g
+        self._cam_nu = b2 * self._cam_nu + (1 - b2) * g * g
+        mhat = self._cam_mu / (1 - b1**self._cam_count)
+        vhat = self._cam_nu / (1 - b2**self._cam_count)
+        self.cam_adj = jnp.asarray(
+            np.asarray(self.cam_adj) - lr * mhat / (np.sqrt(vhat) + eps)
+        )
+        self._cam_accum[:] = 0.0
+
     # -- checkpointing (orbax-free npz: state is a flat dict of arrays) --
 
     def save_checkpoint(self, path: Optional[Path] = None) -> Path:
@@ -260,6 +301,7 @@ class Trainer:
         }
         flat["alive"] = np.asarray(self.alive)
         flat["step"] = np.asarray(self.step)
+        flat["cam_adj"] = np.asarray(self.cam_adj)
         for f in self.adam.mu.__dataclass_fields__:
             flat[f"adam.mu.{f}"] = np.asarray(getattr(self.adam.mu, f))
             flat[f"adam.nu.{f}"] = np.asarray(getattr(self.adam.nu, f))
@@ -287,6 +329,8 @@ class Trainer:
 
         self.adam = AdamState(mu=tree("mu"), nu=tree("nu"),
                               count=tree("count"), accum=tree("accum"))
+        if "cam_adj" in z:
+            self.cam_adj = jnp.asarray(z["cam_adj"])
         self.stats = init_stats(self.params.capacity)
 
 

@@ -61,13 +61,25 @@ _TET_TRIS[0b0110] = [[0, 1, 5], [0, 5, 4]]
 _TET_TRIS[0b1001] = [[0, 5, 1], [0, 4, 5]]
 
 
-def marching_tetrahedra(field: np.ndarray, level: float = 0.0
+def marching_tetrahedra(field: np.ndarray, level: float = 0.0,
+                        backend: str = "auto",
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """Extract the `level` isosurface of a (Nx, Ny, Nz) scalar field.
 
     Returns (vertices (V, 3) in grid coordinates, faces (F, 3) int32).
     Vertices on shared edges are merged (watertight topology).
+    backend: "auto" prefers the native C++ module (dnsplatter_tpu.native)
+    and falls back to the vectorized numpy path.
     """
+    if backend in ("auto", "native"):
+        from dnsplatter_tpu import native
+
+        out = native.marching_tetrahedra_native(np.asarray(field, np.float32),
+                                                level)
+        if out is not None:
+            return out
+        if backend == "native":
+            raise RuntimeError("native meshing backend unavailable")
     nx, ny, nz = field.shape
     if min(nx, ny, nz) < 2:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)

@@ -121,3 +121,24 @@ def test_metric_formulas():
     pts = rng.normal(size=(500, 3)).astype(np.float32)
     pd = M.pd_metrics(pts, pts)
     assert pd["accuracy"] < 1e-6 and pd["completeness"] == 1.0
+
+
+def test_native_marching_parity():
+    """C++ backend produces the same mesh as the numpy path."""
+    from dnsplatter_tpu import native
+    from dnsplatter_tpu.mesh.marching import marching_tetrahedra
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    n = 24
+    g = np.mgrid[0:n, 0:n, 0:n].astype(np.float64)
+    c = (n - 1) / 2
+    field = np.sqrt(((g - c) ** 2).sum(0)) - 7.0
+    v1, f1 = marching_tetrahedra(field, 0.0, backend="native")
+    v2, f2 = marching_tetrahedra(field, 0.0, backend="numpy")
+    assert len(v1) == len(v2) and len(f1) == len(f2)
+    r1 = np.sort(np.linalg.norm(v1 - c, axis=1))
+    r2 = np.sort(np.linalg.norm(v2 - c, axis=1))
+    np.testing.assert_allclose(r1, r2, atol=1e-4)

@@ -22,14 +22,22 @@ import json
 import time
 
 import jax
+
+# Persistent compilation cache: the remote TPU compile service in this
+# environment is extremely slow (minutes per executable); cached reruns
+# are seconds.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 import jax.numpy as jnp
 import numpy as np
 
 NOMINAL_GSPLAT_MPIX_S = 75.0
 
-N_GAUSS = 100_000
-WIDTH, HEIGHT = 1024, 576
-PAIR_CAPACITY = 1 << 20
+N_GAUSS = 50_000
+WIDTH, HEIGHT = 640, 360
+PAIR_CAPACITY = 1 << 19
 ITERS = 30
 
 

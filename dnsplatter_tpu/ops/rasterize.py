@@ -197,6 +197,9 @@ class _AlignedPairs(NamedTuple):
 
 
 def align_pairs(cfg: RasterizeConfig, binned: _Binned) -> _AlignedPairs:
+    """Gather formulation (no scatters — TPU scatters serialize): for each
+    ALIGNED output position q, locate its tile via searchsorted over the
+    aligned boundaries and read the source pair from the compact layout."""
     k = cfg.chunk
     c = cfg.pair_capacity
     c_pad = cfg.pair_capacity_aligned
@@ -205,23 +208,16 @@ def align_pairs(cfg: RasterizeConfig, binned: _Binned) -> _AlignedPairs:
     starts_al = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
     )
-    pos = jnp.arange(c, dtype=jnp.int32)
-    # tile of each sorted pair = searchsorted over the original boundaries
+    q = jnp.arange(c_pad, dtype=jnp.int32)
     tile_of = (
-        jnp.searchsorted(binned.tile_starts, pos, side="right").astype(
-            jnp.int32
-        )
-        - 1
+        jnp.searchsorted(starts_al, q, side="right").astype(jnp.int32) - 1
     )
     tile_of = jnp.clip(tile_of, 0, cfg.n_tiles_padded - 1)
-    new_pos = starts_al[tile_of] + (pos - binned.tile_starts[tile_of])
-    new_pos = jnp.where(binned.pair_valid, new_pos, c_pad)  # drop invalid
-    pg = jnp.zeros((c_pad,), jnp.int32).at[new_pos].set(
-        binned.pair_gauss, mode="drop"
-    )
-    pv = jnp.zeros((c_pad,), bool).at[new_pos].set(
-        binned.pair_valid, mode="drop"
-    )
+    r = q - starts_al[tile_of]
+    src = jnp.minimum(binned.tile_starts[tile_of] + r, c - 1)
+    ok = (r < counts[tile_of]) & (q < starts_al[-1])
+    pg = jnp.where(ok, binned.pair_gauss[src], 0)
+    pv = ok & binned.pair_valid[src]
     return _AlignedPairs(pair_gauss=pg, pair_valid=pv, starts=starts_al,
                          counts=counts)
 
@@ -404,12 +400,19 @@ def _raster_fwd_pallas(cfg, binned, sorted_data, n):
 
     m2d_s, con_s, opac_s, feat_s = sorted_data
     f = feat_s.shape[-1]
+    assert f <= rp.MAX_FEATS
     aligned = align_pairs(cfg, binned)
-    pg = aligned.pair_gauss
-    payload = rp.pack_payload(
-        m2d_s[pg], con_s[pg],
-        jnp.where(aligned.pair_valid, opac_s[pg], 0.0),
-        feat_s[pg], cfg.chunk,
+    # Single (N, 16) field matrix -> ONE row gather per pair -> transpose.
+    # (Per-tile ranges only cover valid pairs, so no opacity masking is
+    # needed here; alignment gaps are masked by the kernel's count check.)
+    n = m2d_s.shape[0]
+    fields = jnp.concatenate(
+        [m2d_s, con_s, opac_s[:, None], feat_s,
+         jnp.zeros((n, rp.PW - 6 - f), jnp.float32)],
+        axis=-1,
+    )
+    payload = jnp.pad(
+        fields[aligned.pair_gauss].T, ((0, 0), (0, cfg.chunk))
     )
     out_t, tfin_t, last_t = rp.forward_tiles(
         payload, aligned.starts, aligned.counts, cfg.n_tiles_padded, f,

@@ -167,8 +167,19 @@ def bin_gaussians(
     # never attribute invalid pairs to a processed tile.
     tile_id = jnp.where(pair_valid, tile_id, cfg.n_tiles_padded)
 
-    perm = jnp.argsort(tile_id, stable=True)
-    tile_id_sorted = tile_id[perm]
+    # Sort pairs by tile, keeping within-tile depth order (pairs are
+    # generated in depth order). When tile ids and positions fit in an
+    # int31 packed key, a single unstable int32 sort beats the stable
+    # (key, iota) argsort; otherwise fall back to stable argsort.
+    pos_bits = max(c - 1, 1).bit_length()
+    if (cfg.n_tiles_padded + 1) << pos_bits <= (1 << 31):
+        packed = (tile_id << pos_bits) | pos
+        packed_sorted = jnp.sort(packed)
+        perm = packed_sorted & ((1 << pos_bits) - 1)
+        tile_id_sorted = packed_sorted >> pos_bits
+    else:
+        perm = jnp.argsort(tile_id, stable=True)
+        tile_id_sorted = tile_id[perm]
     pair_gauss = pair_gauss[perm]
     pair_valid = pair_valid[perm]
 

@@ -226,7 +226,38 @@ class Trainer:
         ):
             self.params, self.adam = reset_opacity(cfg, self.params, self.adam)
 
-    def train(self, num_steps: Optional[int] = None, log_every: int = 100):
+    def eval_image(self, index: int = 0, eval_data=None) -> Dict[str, float]:
+        """Render one eval frame and compute quick metrics (the
+        reference's steps_per_eval_image self-reporting,
+        dn_config.py:16-17 / dn_model.py:731-807)."""
+        from dnsplatter_tpu.eval import metrics as M
+        from dnsplatter_tpu.models.dn_model import get_outputs
+
+        data = eval_data or self.data
+        cam, batch = data.get(index % len(data))
+        sh = sh_degree_to_use(self.step, self.model_cfg)
+        out, _ = get_outputs(
+            self.params, self.alive, cam, self.model_cfg,
+            self._raster_cfg(cam), sh_degree=sh, training=False,
+            background=jnp.zeros((3,)),
+        )
+        row = {
+            f"rgb_{k}": v
+            for k, v in M.rgb_metrics(
+                out["rgb"], jnp.asarray(batch["image"])
+            ).items()
+        }
+        if "sensor_depth" in batch:
+            row.update({
+                f"depth_{k}": v for k, v in M.depth_metrics(
+                    out["depth"], jnp.asarray(batch["sensor_depth"])
+                ).items()
+            })
+        row["gaussian_count"] = int(jnp.sum(self.alive))
+        return row
+
+    def train(self, num_steps: Optional[int] = None, log_every: int = 100,
+              eval_data=None):
         total = num_steps or self.train_cfg.max_iterations
         n = len(self.data)
         t0 = time.time()
@@ -259,6 +290,21 @@ class Trainer:
                     f"gaussians {n_alive}  {dt:.1f}s",
                     flush=True,
                 )
+            if (
+                self.train_cfg.steps_per_eval_image
+                and self.step % self.train_cfg.steps_per_eval_image == 0
+            ):
+                m = self.eval_image(
+                    self.step // self.train_cfg.steps_per_eval_image,
+                    eval_data,
+                )
+                print(
+                    f"  eval @ {self.step}: psnr {m['rgb_psnr']:.2f} "
+                    f"ssim {m['rgb_ssim']:.3f} "
+                    f"gaussians {m['gaussian_count']}",
+                    flush=True,
+                )
+                self._history.append(dict(step=self.step, **m))
             if (
                 self.out_dir
                 and self.train_cfg.steps_per_save

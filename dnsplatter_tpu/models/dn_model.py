@@ -127,6 +127,7 @@ def get_outputs(
     absgrad_sink: Optional[jax.Array] = None,
     training: bool = True,
     rng: Optional[jax.Array] = None,
+    crop_box=None,
 ) -> Tuple[Dict[str, jax.Array], RenderInfo]:
     """Reference `get_outputs` dict (dn_model.py:404-612)."""
     if background is None:
@@ -145,6 +146,7 @@ def get_outputs(
         rasterize_mode=cfg.rasterize_mode,
         xys_sink=xys_sink,
         absgrad_sink=absgrad_sink,
+        crop_box=crop_box,
     )
     # Reference normalizes the composited normal map to unit length and
     # maps to [0, 1] (dn_model.py:575-578).

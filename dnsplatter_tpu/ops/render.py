@@ -57,6 +57,7 @@ def render(
     absgrad_sink: Optional[jax.Array] = None,
     near_plane: float = 0.01,
     far_plane: float = 1e10,
+    crop_box: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[RenderOutputs, RenderInfo]:
     """Render one camera. All shapes static; jit/vmap/pjit friendly.
 
@@ -87,6 +88,14 @@ def render(
         far_plane=far_plane,
     )
     valid = proj.valid & (alive > 0.5)
+    if crop_box is not None:
+        # Eval-time crop (dn_model.py:440-464): only Gaussians inside the
+        # world-space AABB render.
+        lo, hi = crop_box
+        inside = jnp.all(
+            (params.means >= lo[None]) & (params.means <= hi[None]), axis=-1
+        )
+        valid = valid & inside
 
     opac = jax.nn.sigmoid(params.opacities)
     if rasterize_mode == "antialiased":

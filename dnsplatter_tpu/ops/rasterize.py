@@ -220,10 +220,14 @@ def align_pairs(cfg: RasterizeConfig, binned: _Binned) -> _AlignedPairs:
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
     )
     q = jnp.arange(c_pad, dtype=jnp.int32)
-    tile_of = (
-        jnp.searchsorted(starts_al, q, side="right").astype(jnp.int32) - 1
+    # tile of each aligned position via repeat (searchsorted on TPU is a
+    # per-query binary-search loop — ~55 ms for 640k queries; repeat is
+    # a fraction of that). Tail positions get the last tile and are
+    # masked by `ok` below.
+    tile_of = jnp.repeat(
+        jnp.arange(cfg.n_tiles_padded, dtype=jnp.int32), padded,
+        total_repeat_length=c_pad,
     )
-    tile_of = jnp.clip(tile_of, 0, cfg.n_tiles_padded - 1)
     r = q - starts_al[tile_of]
     src = jnp.minimum(binned.tile_starts[tile_of] + r, c - 1)
     ok = (r < counts[tile_of]) & (q < starts_al[-1])

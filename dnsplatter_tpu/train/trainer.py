@@ -263,6 +263,9 @@ class Trainer:
         t0 = time.time()
         for _ in range(total):
             cam, batch = self.data.get(self.step % n)
+            d = self._downscale_factor()
+            if d > 1:
+                cam, batch = self._downscaled(self.step % n, cam, batch, d)
             sh = sh_degree_to_use(self.step, self.model_cfg)
             fn = self._get_step_fn(cam, sh)
             self.key, kstep = jax.random.split(self.key)
@@ -314,6 +317,40 @@ class Trainer:
         if self.out_dir:
             self.save_checkpoint()
         return self._history
+
+    def _downscale_factor(self) -> int:
+        """Progressive resolution (splatfacto num_downscales /
+        resolution_schedule; dn-splatter defaults num_downscales=0)."""
+        cfg = self.model_cfg
+        if cfg.num_downscales <= 0:
+            return 1
+        d = max(
+            0,
+            cfg.num_downscales - self.step // cfg.resolution_schedule,
+        )
+        return 2 ** d
+
+    def _downscaled(self, idx: int, cam: Camera, batch, d: int):
+        key = (idx, d)
+        cache = getattr(self, "_ds_cache", None)
+        if cache is None:
+            cache = self._ds_cache = {}
+        if key in cache:
+            return cache[key]
+        from dnsplatter_tpu.data.io import resize_image
+
+        cam2 = cam.rescaled(1.0 / d)
+        batch2 = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            nearest = k != "image"
+            out = resize_image(
+                v if v.ndim == 3 else v[..., None],
+                cam2.height, cam2.width, nearest=nearest,
+            )
+            batch2[k] = out
+        cache[key] = (cam2, batch2)
+        return cam2, batch2
 
     def _cam_opt_update(self, cam_i: int, grad: np.ndarray,
                         accum_steps: int = 100) -> None:

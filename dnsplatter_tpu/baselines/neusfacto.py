@@ -95,8 +95,9 @@ def render_rays(params: NeuSParams, cfg: NeuSConfig, origins, dirs, key):
     )
     w = alpha * trans
 
-    normal = grad / jnp.maximum(
-        jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-8
+    # rsqrt(|g|^2 + eps): jnp.linalg.norm has a NaN gradient at exactly 0.
+    normal = grad * jax.lax.rsqrt(
+        jnp.sum(grad * grad, axis=-1, keepdims=True) + 1e-12
     )
     x01 = jnp.clip(pts / (2 * cfg.scene_scale) + 0.5, 0.0, 1.0)
     enc = F.hash_encode(params.tables, x01, cfg.hash)

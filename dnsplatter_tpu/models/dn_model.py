@@ -149,9 +149,11 @@ def get_outputs(
         crop_box=crop_box,
     )
     # Reference normalizes the composited normal map to unit length and
-    # maps to [0, 1] (dn_model.py:575-578).
+    # maps to [0, 1] (dn_model.py:575-578). Use rsqrt(|n|^2 + eps): the
+    # gradient of jnp.linalg.norm at exactly 0 (empty pixels) is NaN and
+    # would poison whole tiles through 0 * NaN in the backward sums.
     n = out.normal
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+    n = n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
     normal01 = (n + 1.0) * 0.5
     outputs = {
         "rgb": out.rgb,

@@ -117,3 +117,40 @@ def test_refinement_transforms():
     p4, ad4 = reset_opacity(cfg, p2, ad2)
     max_logit = float(np.log(0.2 / 0.8))
     assert float(jnp.max(jnp.where(a2 > 0.5, p4.opacities, -100.0))) <= max_logit + 1e-5
+
+
+def test_normal_loss_grads_finite_with_empty_pixels():
+    """Regression: jnp.linalg.norm has a NaN gradient at exactly zero;
+    empty-background pixels' composited normals used to poison whole
+    tiles (0 * NaN) and NaN the quaternion gradients within one step."""
+    from dnsplatter_tpu.models.dn_model import (
+        ModelConfig, compute_loss, get_outputs,
+    )
+    from dnsplatter_tpu.models.gaussians import init_from_points
+    from dnsplatter_tpu.ops.rasterize import RasterizeConfig
+    from dnsplatter_tpu.data.synthetic import make_synthetic_scene
+
+    scene = make_synthetic_scene(seed=0, n_gaussians=120, n_cameras=1,
+                                 width=64, height=64,
+                                 pair_capacity=1 << 12)
+    cam, batch = scene.get(0)
+    pts, cols = scene.seed_points(jax.random.PRNGKey(1), noise=0.03)
+    # isotropic scales + sparse gaussians guarantee empty pixels
+    params, alive, _ = init_from_points(jax.random.PRNGKey(0), pts, cols,
+                                        sh_degree=1)
+    mc = ModelConfig(use_normal_loss=True, warmup_length=10_000, sh_degree=1)
+    cfg = RasterizeConfig(width=64, height=64, tile_size=16, chunk=32,
+                          tile_block=2, pair_capacity=1 << 12)
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def loss_fn(p):
+        out, _ = get_outputs(p, alive, cam, mc, cfg, sh_degree=1,
+                             background=jnp.zeros((3,)), training=True,
+                             rng=jax.random.PRNGKey(5))
+        l, _ = compute_loss(out, batch_j, p, alive, cam, mc,
+                            jnp.asarray(0), jax.random.PRNGKey(6))
+        return l
+
+    g = jax.grad(loss_fn)(params)
+    for f in g.__dataclass_fields__:
+        assert np.isfinite(np.asarray(getattr(g, f))).all(), f

@@ -57,6 +57,11 @@ class TrainConfig:
     chunk: int = 64
     tile_block: int = 32
     backend: str = "auto"  # auto -> pallas kernels on TPU, xla elsewhere
+    # K sequential optimizer steps per device dispatch (lax.scan) —
+    # identical math to K single steps, but amortizes per-dispatch launch
+    # latency (important behind the TPU tunnel). Must divide the
+    # refinement cadence; 1 disables.
+    steps_per_dispatch: int = 1
 
 
 def make_train_step(
@@ -117,6 +122,40 @@ def make_train_step(
         return new_params, new_adam, new_stats, loss, loss_dict, gadj
 
     return step_fn
+
+
+def make_train_step_multi(
+    model_cfg: ModelConfig,
+    optim_cfg: OptimConfig,
+    raster_cfg: RasterizeConfig,
+    sh_degree: int,
+    k: int,
+) -> Callable:
+    """K sequential train steps in one dispatch via lax.scan — bitwise the
+    same update sequence as K single-step dispatches."""
+    single = make_train_step(model_cfg, optim_cfg, raster_cfg, sh_degree)
+    inner = single.__wrapped__ if hasattr(single, "__wrapped__") else single
+
+    @jax.jit
+    def multi(params, alive, adam, stats, cameras, batches, step0, keys,
+              cam_adjs):
+        def body(carry, xs):
+            params, adam, stats = carry
+            camera, batch, off, key, adj = xs
+            params, adam, stats, loss, _, gadj = inner(
+                params, alive, adam, stats, camera, batch, step0 + off,
+                key, adj,
+            )
+            return (params, adam, stats), (loss, gadj)
+
+        offs = jnp.arange(k, dtype=jnp.int32)
+        (params, adam, stats), (losses, gadjs) = jax.lax.scan(
+            body, (params, adam, stats),
+            (cameras, batches, offs, keys, cam_adjs),
+        )
+        return params, adam, stats, losses, gadjs
+
+    return multi
 
 
 class Trainer:
@@ -261,24 +300,39 @@ class Trainer:
         total = num_steps or self.train_cfg.max_iterations
         n = len(self.data)
         t0 = time.time()
-        for _ in range(total):
+        k_dispatch = max(1, self.train_cfg.steps_per_dispatch)
+        if self.model_cfg.camera_optimizer_mode != "off":
+            k_dispatch = 1  # pose opt needs per-step host updates
+        if k_dispatch > 1:
+            assert self.model_cfg.refine_every % k_dispatch == 0, (
+                "steps_per_dispatch must divide refine_every"
+            )
+            assert self.model_cfg.sh_degree_interval % k_dispatch == 0
+
+        target = self.step + total
+        while self.step < target:
+            k_now = min(k_dispatch, target - self.step)
             cam, batch = self.data.get(self.step % n)
             d = self._downscale_factor()
             if d > 1:
                 cam, batch = self._downscaled(self.step % n, cam, batch, d)
             sh = sh_degree_to_use(self.step, self.model_cfg)
-            fn = self._get_step_fn(cam, sh)
-            self.key, kstep = jax.random.split(self.key)
-            batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
-            cam_i = self.step % n
-            self.params, self.adam, self.stats, loss, ld, gadj = fn(
-                self.params, self.alive, self.adam, self.stats, cam, batch_j,
-                jnp.asarray(self.step, jnp.int32), kstep,
-                self.cam_adj[cam_i],
-            )
-            if self.model_cfg.camera_optimizer_mode != "off":
-                self._cam_opt_update(cam_i, np.asarray(gadj))
-            self.step += 1
+            if k_now > 1 and d == 1:
+                loss = self._dispatch_multi(cam, sh, k_now, n)
+                self.step += k_now
+            else:
+                fn = self._get_step_fn(cam, sh)
+                self.key, kstep = jax.random.split(self.key)
+                batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+                cam_i = self.step % n
+                self.params, self.adam, self.stats, loss, ld, gadj = fn(
+                    self.params, self.alive, self.adam, self.stats, cam,
+                    batch_j, jnp.asarray(self.step, jnp.int32), kstep,
+                    self.cam_adj[cam_i],
+                )
+                if self.model_cfg.camera_optimizer_mode != "off":
+                    self._cam_opt_update(cam_i, np.asarray(gadj))
+                self.step += 1
             self._refinement(cam)
             if self.step % log_every == 0 or self.step == total:
                 loss_v = float(loss)
@@ -317,6 +371,30 @@ class Trainer:
         if self.out_dir:
             self.save_checkpoint()
         return self._history
+
+    def _dispatch_multi(self, cam0: Camera, sh: int, k: int, n: int) -> float:
+        """Run k sequential steps in one device dispatch (lax.scan)."""
+        key = (cam0.width, cam0.height, sh, k, "multi")
+        if key not in self._step_fns:
+            self._step_fns[key] = make_train_step_multi(
+                self.model_cfg, self.optim_cfg, self._raster_cfg(cam0), sh, k
+            )
+        fn = self._step_fns[key]
+        idxs = [(self.step + j) % n for j in range(k)]
+        cams, batches = zip(*[self.data.get(i) for i in idxs])
+        cam_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+        batch_stack = {
+            kk: jnp.stack([jnp.asarray(b[kk]) for b in batches])
+            for kk in batches[0]
+        }
+        self.key, *keys = jax.random.split(self.key, k + 1)
+        keys = jnp.stack(keys)
+        adjs = self.cam_adj[jnp.asarray(idxs)]
+        (self.params, self.adam, self.stats, losses, _) = fn(
+            self.params, self.alive, self.adam, self.stats, cam_stack,
+            batch_stack, jnp.asarray(self.step, jnp.int32), keys, adjs,
+        )
+        return losses[-1]
 
     def _downscale_factor(self) -> int:
         """Progressive resolution (splatfacto num_downscales /

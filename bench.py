@@ -38,8 +38,8 @@ NOMINAL_GSPLAT_MPIX_S = 75.0
 N_GAUSS = 50_000
 WIDTH, HEIGHT = 640, 360
 PAIR_CAPACITY = 1 << 19
-INNER_FRAMES = 10  # frames per dispatch (lax.scan)
-ITERS = 4  # dispatches
+INNER_FRAMES = 25  # frames per dispatch (lax.scan)
+ITERS = 3  # dispatches
 
 
 def build(backend: str):

@@ -35,10 +35,10 @@ import numpy as np
 
 NOMINAL_GSPLAT_MPIX_S = 75.0
 
-N_GAUSS = 50_000
-WIDTH, HEIGHT = 640, 360
-PAIR_CAPACITY = 1 << 19
-INNER_FRAMES = 25  # frames per dispatch (lax.scan)
+N_GAUSS = 100_000
+WIDTH, HEIGHT = 1024, 576
+PAIR_CAPACITY = 1 << 20
+INNER_FRAMES = 12  # frames per dispatch (lax.scan)
 ITERS = 3  # dispatches
 
 

@@ -16,10 +16,10 @@ Implements the reference's six exporters over a trained checkpoint:
                 (export_mesh.py:513-696)
   marching      density-grid marching isosurface (export_mesh.py:699-820)
 
-Each command writes .ply outputs into --output-dir. A screened-Poisson
-backend is not bundled yet; `dn`/`gaussians`/`sugar-coarse` emit oriented
-point clouds (Poisson's exact input) plus a fused TSDF mesh where
-applicable.
+Each command writes .ply outputs into --output-dir. `dn`/`gaussians`/
+`sugar-coarse` also run the FFT Poisson solver (mesh/poisson.py) over the
+oriented clouds, producing watertight Poisson meshes like the reference's
+Open3D path, plus the raw point clouds and TSDF meshes.
 """
 
 from __future__ import annotations
@@ -162,10 +162,21 @@ def export_dn(params, alive, data, output_dir: Path,
     cols = np.concatenate(col_all)
     pcd_path = output_dir / "DepthAndNormals_pcd.ply"
     io.write_ply(pcd_path, pts, colors=cols, normals=nrm)
+    # Poisson mesh from the oriented cloud (Open3D's role in the
+    # reference; here the FFT solver in mesh/poisson.py).
+    from dnsplatter_tpu.mesh.poisson import (
+        PoissonConfig, poisson_reconstruct, trim_mesh_to_points,
+    )
+
+    verts, faces = poisson_reconstruct(pts, nrm, PoissonConfig())
+    extent = float(np.linalg.norm(pts.max(0) - pts.min(0)))
+    verts, faces = trim_mesh_to_points(verts, faces, pts, 0.02 * extent)
+    mesh_path = output_dir / "DepthAndNormals_poisson_mesh.ply"
+    io.write_ply(mesh_path, verts, faces=faces)
     if also_tsdf:
         export_tsdf(params, alive, data, output_dir, model_cfg,
                     sh_degree=sh_degree)
-    return pcd_path
+    return mesh_path
 
 
 def export_gaussians(params, alive, data, output_dir: Path,
@@ -188,6 +199,16 @@ def export_gaussians(params, alive, data, output_dir: Path,
         pts, nrm, cols = pts[keep2], nrm[keep2], cols[keep2]
     out_path = output_dir / "Gaussians_pcd.ply"
     io.write_ply(out_path, pts, colors=cols, normals=nrm)
+    if len(pts) > 100:
+        from dnsplatter_tpu.mesh.poisson import (
+            PoissonConfig, poisson_reconstruct, trim_mesh_to_points,
+        )
+
+        verts, faces = poisson_reconstruct(pts, nrm, PoissonConfig())
+        extent = float(np.linalg.norm(pts.max(0) - pts.min(0)))
+        verts, faces = trim_mesh_to_points(verts, faces, pts, 0.03 * extent)
+        io.write_ply(output_dir / "Gaussians_poisson_mesh.ply", verts,
+                     faces=faces)
     return out_path
 
 
@@ -221,9 +242,20 @@ def export_sugar_coarse(params, alive, data, output_dir: Path,
     for lv, (p, c, n) in acc.items():
         if not p:
             continue
+        pp = np.concatenate(p)
+        nn = np.concatenate(n)
         path = output_dir / f"sugar_level_{lv:.1f}_pcd.ply"
-        io.write_ply(path, np.concatenate(p), colors=np.concatenate(c),
-                     normals=np.concatenate(n))
+        io.write_ply(path, pp, colors=np.concatenate(c), normals=nn)
+        if len(pp) > 100:
+            from dnsplatter_tpu.mesh.poisson import (
+                PoissonConfig, poisson_reconstruct,
+            )
+
+            verts, faces = poisson_reconstruct(pp, nn, PoissonConfig())
+            io.write_ply(
+                output_dir / f"sugar_level_{lv:.1f}_poisson_mesh.ply",
+                verts, faces=faces,
+            )
         last = path
     return last
 

@@ -142,3 +142,18 @@ def test_native_marching_parity():
     r1 = np.sort(np.linalg.norm(v1 - c, axis=1))
     r2 = np.sort(np.linalg.norm(v2 - c, axis=1))
     np.testing.assert_allclose(r1, r2, atol=1e-4)
+
+
+def test_poisson_reconstruction():
+    """FFT Poisson solver recovers a sphere from oriented points."""
+    from dnsplatter_tpu.mesh.poisson import PoissonConfig, poisson_reconstruct
+
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(5000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    verts, faces = poisson_reconstruct(
+        v * 0.5, v, PoissonConfig(resolution=64)
+    )
+    assert len(faces) > 1000
+    r = np.linalg.norm(verts, axis=1)
+    assert abs(r.mean() - 0.5) < 0.05 and r.std() < 0.05

@@ -132,12 +132,22 @@ _PLY_TYPES = {
 }
 
 
-def read_ply(path: Path) -> Dict[str, np.ndarray]:
-    """Read vertex data from ascii / binary_little_endian PLY.
+_PLY_NP_TYPES = {
+    "float": "<f4", "float32": "<f4", "double": "<f8",
+    "float64": "<f8", "uchar": "u1", "uint8": "u1",
+    "char": "i1", "int8": "i1", "short": "<i2",
+    "ushort": "<u2", "int": "<i4", "int32": "<i4",
+    "uint": "<u4", "uint32": "<u4",
+}
 
-    Returns dict with 'points' (N,3) and optionally 'colors' (N,3 in [0,1])
-    and 'normals' (N,3). Replaces Open3D read_point_cloud for seed clouds
-    (mushroom_dataparser.py:474-568 etc.).
+
+def read_ply(path: Path) -> Dict[str, np.ndarray]:
+    """Read vertex (and face) data from ascii / binary_little_endian PLY.
+
+    Returns dict with 'points' (N,3), optionally 'colors' (N,3 in [0,1]),
+    'normals' (N,3), and 'faces' (F,3) for triangle meshes. Replaces
+    Open3D read_point_cloud / read_triangle_mesh for seed clouds and
+    reference meshes (mushroom_dataparser.py:474-568 etc.).
     """
     with open(path, "rb") as f:
         line = f.readline().strip()
@@ -145,42 +155,57 @@ def read_ply(path: Path) -> Dict[str, np.ndarray]:
             raise ValueError(f"{path} is not a PLY file")
         fmt = None
         n_vertex = 0
+        n_face = 0
         props = []  # (name, type) for the vertex element
-        in_vertex = False
+        face_list_types = None  # (count type, index type)
+        current = None
         while True:
             line = f.readline().strip().decode("ascii")
             if line.startswith("format"):
                 fmt = line.split()[1]
             elif line.startswith("element"):
                 _, name, cnt = line.split()
-                in_vertex = name == "vertex"
-                if in_vertex:
+                current = name
+                if name == "vertex":
                     n_vertex = int(cnt)
-            elif line.startswith("property") and in_vertex:
+                elif name == "face":
+                    n_face = int(cnt)
+            elif line.startswith("property") and current == "vertex":
                 parts = line.split()
                 if parts[1] == "list":
                     raise ValueError("list property in vertex element")
                 props.append((parts[2], parts[1]))
+            elif line.startswith("property list") and current == "face":
+                parts = line.split()
+                face_list_types = (parts[2], parts[3])
             elif line == "end_header":
                 break
 
         names = [p[0] for p in props]
+        faces = None
         if fmt == "ascii":
             rows = np.loadtxt(f, max_rows=n_vertex, dtype=np.float64)
             rows = np.atleast_2d(rows)
             data = {n: rows[:, i] for i, n in enumerate(names)}
+            if n_face:
+                frows = np.loadtxt(f, max_rows=n_face, dtype=np.int64)
+                frows = np.atleast_2d(frows)
+                faces = frows[:, 1:4].astype(np.int32)
         elif fmt == "binary_little_endian":
-            np_types = {
-                "float": "<f4", "float32": "<f4", "double": "<f8",
-                "float64": "<f8", "uchar": "u1", "uint8": "u1",
-                "char": "i1", "int8": "i1", "short": "<i2",
-                "ushort": "<u2", "int": "<i4", "int32": "<i4",
-                "uint": "<u4", "uint32": "<u4",
-            }
-            dt = np.dtype([(n, np_types[t]) for n, t in props])
+            dt = np.dtype([(n, _PLY_NP_TYPES[t]) for n, t in props])
             raw = np.frombuffer(f.read(dt.itemsize * n_vertex), dtype=dt,
                                 count=n_vertex)
             data = {n: raw[n].astype(np.float64) for n in names}
+            if n_face and face_list_types is not None:
+                cnt_t = _PLY_NP_TYPES[face_list_types[0]]
+                idx_t = _PLY_NP_TYPES[face_list_types[1]]
+                idx_sz = np.dtype(idx_t).itemsize
+                fdt = np.dtype([("n", cnt_t), ("idx", idx_t, (3,))])
+                raw_f = f.read(fdt.itemsize * n_face)
+                if len(raw_f) >= fdt.itemsize * n_face:
+                    rec = np.frombuffer(raw_f, dtype=fdt, count=n_face)
+                    if (rec["n"] == 3).all():
+                        faces = rec["idx"].astype(np.int32)
         else:
             raise ValueError(f"unsupported PLY format {fmt}")
 
@@ -198,6 +223,8 @@ def read_ply(path: Path) -> Dict[str, np.ndarray]:
         out["normals"] = np.stack(
             [data["nx"], data["ny"], data["nz"]], -1
         ).astype(np.float32)
+    if faces is not None:
+        out["faces"] = faces
     return out
 
 

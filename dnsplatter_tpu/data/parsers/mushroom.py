@@ -111,11 +111,45 @@ def _load_capture(capture_dir: Path, cfg: MushroomParserConfig):
     return specs, np.stack(poses) if poses else np.zeros((0, 4, 4))
 
 
+def _ensure_confidence_masks(capture_dir: Path, specs, cfg) -> None:
+    """Generate depth<->normal consistency masks when missing (the
+    reference regenerates them via DepthToNormal on demand,
+    mushroom_dataparser.py:180-192)."""
+    out_dir = capture_dir / "depth_normals_mask"
+    if out_dir.exists() or not specs:
+        return
+    from dnsplatter_tpu.data import io
+    from dnsplatter_tpu.scripts.depth_normal_consistency import (
+        consistency_mask,
+    )
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for sp in specs:
+        if sp.sensor_depth_path is None or sp.normal_path is None:
+            continue
+        depth = io.read_depth(sp.sensor_depth_path,
+                              cfg.depth_unit_scale_factor)
+        normal = io.read_normal(sp.normal_path, "omnidata")
+        if normal.shape[:2] != depth.shape[:2]:
+            normal = io.resize_image(normal, depth.shape[0], depth.shape[1])
+        # intrinsics at the depth resolution
+        sy = depth.shape[0] / sp.height
+        sx = depth.shape[1] / sp.width
+        mask = consistency_mask(depth, normal, sp.fx * sx, sp.fy * sy,
+                                sp.cx * sx, sp.cy * sy)
+        io.write_image(out_dir / f"{sp.image_path.stem}.jpg",
+                       mask[..., None] / 255.0)
+        sp.confidence_path = out_dir / f"{sp.image_path.stem}.jpg"
+
+
 @register("mushroom")
 def parse(cfg: MushroomParserConfig, split: str = "train") -> SceneDataset:
     base = Path(cfg.data) / cfg.mode
     long_specs, long_poses = _load_capture(base / "long_capture", cfg)
     short_specs, short_poses = _load_capture(base / "short_capture", cfg)
+    if cfg.load_depth_confidence_masks:
+        _ensure_confidence_masks(base / "long_capture", long_specs, cfg)
+        _ensure_confidence_masks(base / "short_capture", short_specs, cfg)
 
     all_poses = np.concatenate([long_poses, short_poses])
     all_poses, transform = auto_orient_and_center_poses(

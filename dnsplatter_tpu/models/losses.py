@@ -215,8 +215,11 @@ def ssim(
     mu_xx = mu_x * mu_x
     mu_yy = mu_y * mu_y
     mu_xy = mu_x * mu_y
-    sigma_x = blur(x * x) - mu_xx
-    sigma_y = blur(y * y) - mu_yy
+    # Clamp variances at 0: blur(x^2) - mu^2 can go slightly negative in
+    # f32 (cancellation), which can flip the SSIM ratio above 1 and drive
+    # the (1 - ssim) loss negative on near-converged images.
+    sigma_x = jnp.maximum(blur(x * x) - mu_xx, 0.0)
+    sigma_y = jnp.maximum(blur(y * y) - mu_yy, 0.0)
     sigma_xy = blur(x * y) - mu_xy
     num = (2.0 * mu_xy + c1) * (2.0 * sigma_xy + c2)
     den = (mu_xx + mu_yy + c1) * (sigma_x + sigma_y + c2)
@@ -252,8 +255,8 @@ def dssim_l1_per_pixel(pred, gt, kernel_size: int = 3, alpha: float = 0.85):
     c1, c2 = 0.01**2, 0.03**2
     mu_x = boxfilter(x)
     mu_y = boxfilter(y)
-    sigma_x = boxfilter(x * x) - mu_x**2
-    sigma_y = boxfilter(y * y) - mu_y**2
+    sigma_x = jnp.maximum(boxfilter(x * x) - mu_x**2, 0.0)
+    sigma_y = jnp.maximum(boxfilter(y * y) - mu_y**2, 0.0)
     sigma_xy = boxfilter(x * y) - mu_x * mu_y
     ssim_n = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
     ssim_d = (mu_x**2 + mu_y**2 + c1) * (sigma_x + sigma_y + c2)

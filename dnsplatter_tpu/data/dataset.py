@@ -58,6 +58,8 @@ class SceneDataset:
     seed_colors: Optional[np.ndarray] = None
     seed_normals: Optional[np.ndarray] = None
     cache: bool = True
+    # optional per-frame protocol labels (MuSHRoom "with"/"within" eval)
+    protocols: Optional[List[str]] = None
 
     def __post_init__(self):
         self._cache: Dict[int, tuple] = {}

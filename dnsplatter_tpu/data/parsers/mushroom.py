@@ -187,12 +187,16 @@ def parse(cfg: MushroomParserConfig, split: str = "train") -> SceneDataset:
 
     idx = i_train if split == "train" else i_eval
     frames = [specs[i] for i in idx]
+    protocols = None
+    if split != "train":
+        protocols = ["within" if i < n_long else "with" for i in idx]
 
     ds = SceneDataset(
         frames=frames,
         depth_unit_scale_factor=cfg.depth_unit_scale_factor,
         dataparser_scale=scale,
         normal_format="omnidata",
+        protocols=protocols,
     )
     if cfg.load_3D_points:
         ply = Path(cfg.data) / f"{cfg.mode}_pointcloud.ply"

@@ -134,14 +134,21 @@ def evaluate(
                 io.write_image(output_dir / "gt/normal" / f"{stem}.png",
                                batch["normal"])
 
-    agg: Dict[str, float] = {}
-    keys = sorted({k for row in per_image for k in row})
-    for k in keys:
-        vals = [row[k] for row in per_image if k in k and k in row]
-        m, s = _mean_std(vals)
-        agg[k] = m
-        agg[f"{k}_std"] = s
-    agg["num_images"] = len(per_image)
+    labels = getattr(data, "protocols", None)
+    if labels and len(labels) == len(per_image):
+        # MuSHRoom with/within protocol aggregation (dn_pipeline.py:498-545)
+        from dnsplatter_tpu.eval.offline import aggregate_protocols
+
+        agg = aggregate_protocols(per_image, labels)
+    else:
+        agg = {}
+        keys = sorted({k for row in per_image for k in row})
+        for k in keys:
+            vals = [row[k] for row in per_image if k in row]
+            m, s = _mean_std(vals)
+            agg[k] = m
+            agg[f"{k}_std"] = s
+        agg["num_images"] = len(per_image)
 
     if extract_pointcloud and pcd_pts and reference_points is not None:
         pred_cloud = np.concatenate(pcd_pts)

@@ -199,7 +199,6 @@ def read_ply(path: Path) -> Dict[str, np.ndarray]:
             if n_face and face_list_types is not None:
                 cnt_t = _PLY_NP_TYPES[face_list_types[0]]
                 idx_t = _PLY_NP_TYPES[face_list_types[1]]
-                idx_sz = np.dtype(idx_t).itemsize
                 fdt = np.dtype([("n", cnt_t), ("idx", idx_t, (3,))])
                 raw_f = f.read(fdt.itemsize * n_face)
                 if len(raw_f) >= fdt.itemsize * n_face:

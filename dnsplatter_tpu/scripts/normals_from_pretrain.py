@@ -20,8 +20,7 @@ import numpy as np
 
 def load_omnidata(ckpt_path: Path):
     try:
-        import torch
-        from torch import nn
+        import torch  # noqa: F401
     except ImportError as e:
         raise SystemExit(f"torch unavailable: {e}")
     if not Path(ckpt_path).exists():

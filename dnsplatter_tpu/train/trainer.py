@@ -15,7 +15,6 @@ refinement cadence (dn_model.py:281-301) is evaluated host-side where
 from __future__ import annotations
 
 import dataclasses
-import functools
 import json
 import time
 from pathlib import Path

@@ -62,7 +62,8 @@ def evaluate(
                 "pallas" if jax.default_backend() == "tpu" else "xla"
             )
             cfg = RasterizeConfig(
-                width=cam.width, height=cam.height, tile_size=16, chunk=64,
+                width=cam.width, height=cam.height, tile_size=16,
+                chunk=128 if backend == "pallas" else 64,
                 tile_block=32, pair_capacity=pair_capacity, backend=backend,
             )
 

@@ -52,7 +52,9 @@ def _render_frames(params, alive, data, model_cfg, sh_degree,
                 "pallas" if jax.default_backend() == "tpu" else "xla"
             )
             cfg = RasterizeConfig(width=cam.width, height=cam.height,
-                                  tile_size=16, chunk=64, tile_block=32,
+                                  tile_size=16,
+                                  chunk=128 if backend == "pallas" else 64,
+                                  tile_block=32,
                                   pair_capacity=pair_capacity,
                                   backend=backend)
 

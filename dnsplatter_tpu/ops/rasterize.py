@@ -417,6 +417,13 @@ def _raster_fwd(cfg, means2d, conics, opacities, features, absgrad_sink,
 def _raster_fwd_pallas(cfg, binned, sorted_data, n):
     from dnsplatter_tpu.ops import rasterize_pallas as rp
 
+    if jax.default_backend() == "tpu" and cfg.chunk % 128 != 0:
+        raise ValueError(
+            f"pallas backend on TPU needs chunk % 128 == 0 (got "
+            f"{cfg.chunk}): Mosaic requires 128-lane-aligned dynamic "
+            "slices"
+        )
+
     m2d_s, con_s, opac_s, feat_s = sorted_data
     f = feat_s.shape[-1]
     assert f <= rp.MAX_FEATS

@@ -53,7 +53,7 @@ class TrainConfig:
     seed: int = 42
     pair_capacity: int = 1 << 21
     tile_size: int = 16
-    chunk: int = 64
+    chunk: int = 128  # pallas DMA alignment needs multiples of 128 on TPU
     tile_block: int = 32
     backend: str = "auto"  # auto -> pallas kernels on TPU, xla elsewhere
     # K sequential optimizer steps per device dispatch (lax.scan) —

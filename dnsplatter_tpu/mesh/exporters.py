@@ -326,7 +326,7 @@ def export_marching(params, alive, data, output_dir: Path,
     grid = np.stack(np.meshgrid(*xs, indexing="ij"), -1).reshape(-1, 3)
 
     dens = np.zeros(len(grid), np.float32)
-    chunk = 1 << 19
+    chunk = 1 << 17
     for s in range(0, len(grid), chunk):
         e = min(s + chunk, len(grid))
         dens[s:e] = np.asarray(

@@ -91,7 +91,7 @@ def get_density(
     params: GaussianParams,
     alive: jax.Array,
     closest: Optional[np.ndarray] = None,
-    chunk: int = 1 << 20,
+    chunk: int = 1 << 17,
     clamp: bool = True,
 ) -> jax.Array:
     """Density at sample points (dn_model.py:1077-1135)."""

@@ -51,7 +51,7 @@ def test_cli_train_eval_export(tmp_path):
          "--train.pair-capacity", "4096", "--train.chunk", "32",
          "--train.tile-block", "2", "--train.steps-per-eval-image", "0",
          "--train.backend", "xla"],
-        capture_output=True, text=True, env=env, timeout=600,
+        capture_output=True, text=True, env=env, timeout=1500,
     )
     assert r.returncode == 0, r.stdout[-800:] + r.stderr[-800:]
     ckpts = sorted(out_dir.glob("ckpt_*.npz"))
@@ -62,7 +62,7 @@ def test_cli_train_eval_export(tmp_path):
          "--checkpoint", str(ckpts[-1]),
          "--dataparser", "normal-nerfstudio", "--data", str(tmp_path),
          "--output-dir", str(tmp_path / "exports")],
-        capture_output=True, text=True, env=env, timeout=600,
+        capture_output=True, text=True, env=env, timeout=1500,
     )
     assert r3.returncode == 0, r3.stderr[-800:]
     assert (tmp_path / "exports" / "Gaussians_pcd.ply").exists()

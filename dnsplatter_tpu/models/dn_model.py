@@ -182,7 +182,12 @@ def compute_loss(
     (H,W,1), mono_depth (H,W,1), normal (H,W,3 in [0,1]), confidence
     (H,W,1 raw 0..255), mask (H,W,1).
     """
-    gt_img = jnp.clip(batch["image"], 10.0 / 255.0, None)
+    # The 10/255 clamp (dn_model.py:633) feeds only the regularizers'
+    # edge-aware weights; the reference's main photometric loss comes from
+    # splatfacto's get_loss_dict on the UNCLAMPED image — clamping there
+    # would bias every dark pixel toward gray.
+    gt_img_raw = batch["image"]
+    gt_img = jnp.clip(gt_img_raw, 10.0 / 255.0, None)
     pred_img = outputs["rgb"]
     depth_out = outputs["depth"]
 
@@ -205,8 +210,8 @@ def compute_loss(
             gt_normal = gt_normal * mask
         pred_normal = pred_normal * mask
 
-    # Splatfacto main photometric loss.
-    main_loss = L.rgb_main_loss(pred_img, gt_img, cfg.ssim_lambda)
+    # Splatfacto main photometric loss (unclamped gt).
+    main_loss = L.rgb_main_loss(pred_img, gt_img_raw, cfg.ssim_lambda)
 
     # scale_reg: splatfacto applies the PhysGauss penalty every 10 steps
     # when enabled, else 0.
@@ -300,7 +305,16 @@ def apply_binary_opacities(
     params: GaussianParams, alive: jax.Array, cfg: ModelConfig, step: jax.Array
 ) -> GaussianParams:
     """Binary-opacity clamp trick (dn_model.py:427-437): outside the
-    opacity-reset margin, snap opacity params to 0/1 by threshold."""
+    opacity-reset margin, snap opacity params to 0/1 by threshold.
+
+    DELIBERATE deviation from the reference (also noted in PARITY.md): the
+    reference compares RAW logits against `binary_opacities_threshold`
+    (default 0.9) and snaps logits to {0.0, 1.0} — i.e. post-sigmoid
+    opacities of 0.5/0.73, which neither binarizes nor uses the threshold
+    in probability space. Here the comparison happens on sigmoided
+    opacities and the snap goes to logits ±15 (sigmoid ~0/~1), which is
+    the documented intent of the flag ("set opacities to 0/1").
+    """
     if not cfg.use_binary_opacities:
         return params
     skip = cfg.reset_alpha_every * cfg.refine_every

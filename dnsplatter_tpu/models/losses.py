@@ -94,7 +94,10 @@ def huber_l1_loss(pred, gt, mask=None, tresh: float = 0.2):
     l1 = jnp.abs(pred - gt)
     d = tresh * jnp.max(jnp.where(jnp.broadcast_to(mask, l1.shape), l1, 0.0))
     loss = jnp.where(l1 < d, ((pred - gt) ** 2 + d * d) / (2.0 * d + 1e-12), l1)
-    return jnp.mean(loss)
+    # The reference computes l1 on pred[mask]/gt[mask] and means over the
+    # masked elements only (losses.py:241-246) — an unmasked mean would
+    # dilute sparse sensor depth with |pred| at invalid pixels.
+    return masked_mean(loss, mask)
 
 
 def tv_loss(pred):
@@ -137,6 +140,7 @@ def local_pearson_depth_loss(pred, gt, key, box_p: int = 128, p_corr: float = 0.
     if gt.ndim == 3:
         gt = gt[..., 0]
     h, w = pred.shape
+    box_p = min(box_p, h, w)  # small images: shrink box instead of erroring
     n_corr = max(1, int(p_corr * (h // box_p) * (w // box_p)))
     kx, ky = jax.random.split(key)
     x0 = jax.random.randint(kx, (n_corr,), 0, max(1, h - box_p))

@@ -99,12 +99,12 @@ def _depth_loss_core(
     if t == "huber_l1":
         return L.huber_l1_loss(pred_depth, gt_depth, mask)
     if t == "pearson":
-        # Reference combines global + lambda*local (strategy.py:167-177).
+        # Reference combines global + depth_lambda*local (strategy.py:167-177).
         glob = L.pearson_depth_loss(pred_depth, gt_depth)
         loc = L.local_pearson_depth_loss(
             pred_depth, gt_depth, key if key is not None else jax.random.PRNGKey(0)
         )
-        return glob + 0.2 * loc
+        return glob + cfg.depth_lambda * loc
     raise ValueError(f"unknown depth loss {t}")
 
 

@@ -42,8 +42,19 @@ def evaluate(
     save_renders: bool = False,
     extract_pointcloud: bool = False,
     reference_points: Optional[np.ndarray] = None,
+    icp_transform: Optional[np.ndarray] = None,
+    icp_json: Optional[Path] = None,
+    run_icp_if_missing: bool = True,
+    pcd_stride: int = 7,
 ) -> Dict[str, float]:
-    """Evaluate over every frame of `data` (SceneSource protocol)."""
+    """Evaluate over every frame of `data` (SceneSource protocol).
+
+    Point-cloud acc/comp follows dn_pipeline.py:356-450: the predicted
+    cloud (backprojected eval-render depths) is ICP-registered to the
+    reference cloud before PDMetrics — via an explicit `icp_transform`,
+    the dataset's `icp_*.json` (`icp_json`), or, when neither exists and
+    `run_icp_if_missing`, our own point-to-point ICP (eval/icp.py).
+    """
     per_image: List[Dict[str, float]] = []
     render_fns: Dict[tuple, object] = {}
     pcd_pts: List[np.ndarray] = []
@@ -114,7 +125,7 @@ def evaluate(
                                   cam.cx, cam.cy, jnp.asarray(c2w_cv))
             ).reshape(-1, 3)
             acc = np.asarray(out["accumulation"]).reshape(-1)
-            pcd_pts.append(pts[acc > 0.5][::7])
+            pcd_pts.append(pts[acc > 0.5][::pcd_stride])
 
         if save_renders and output_dir:
             from dnsplatter_tpu.data import io
@@ -152,7 +163,22 @@ def evaluate(
         agg["num_images"] = len(per_image)
 
     if extract_pointcloud and pcd_pts and reference_points is not None:
+        from dnsplatter_tpu.eval.icp import (
+            icp as run_icp, load_icp_json, transform_points,
+        )
+
         pred_cloud = np.concatenate(pcd_pts)
+        transform = icp_transform
+        if transform is None and icp_json is not None and Path(icp_json).exists():
+            transform = load_icp_json(icp_json)
+        if transform is None and run_icp_if_missing:
+            transform, icp_rmse = run_icp(
+                pred_cloud, np.asarray(reference_points),
+                max_correspondence_distance=0.3,
+            )
+            agg["pd_icp_rmse"] = icp_rmse
+        if transform is not None:
+            pred_cloud = transform_points(pred_cloud, transform)
         agg.update({
             f"pd_{k}": v
             for k, v in M.pd_metrics(pred_cloud, reference_points).items()

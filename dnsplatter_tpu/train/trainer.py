@@ -61,6 +61,12 @@ class TrainConfig:
     # latency (important behind the TPU tunnel). Must divide the
     # refinement cadence; 1 disables.
     steps_per_dispatch: int = 1
+    # Multi-chip: shard the Gaussian state over the first `devices` devices
+    # of a 1-D mesh (0/1 = single-device). The per-Gaussian stages run
+    # sharded and GSPMD inserts the ICI collectives; refinement
+    # (densify/cull/reset) also runs on the sharded state and the layout
+    # is re-pinned after each event. CLI: `--train.devices N`.
+    devices: int = 0
 
 
 def make_train_step(
@@ -200,6 +206,18 @@ class Trainer:
             )
         self.adam = init_adam(self.params)
         self.stats = init_stats(self.params.capacity)
+        self.mesh = None
+        if train_cfg.devices and train_cfg.devices > 1:
+            from dnsplatter_tpu.parallel.sharding import make_mesh
+
+            devs = jax.devices()
+            if len(devs) < train_cfg.devices:
+                raise ValueError(
+                    f"--train.devices {train_cfg.devices} but only "
+                    f"{len(devs)} devices visible"
+                )
+            self.mesh = make_mesh(devs[: train_cfg.devices])
+            self._shard_state()
         self.step = 0
         self._step_fns: Dict[Tuple[int, int, int], Callable] = {}
         self._history: list = []
@@ -227,12 +245,31 @@ class Trainer:
             backend=backend,
         )
 
+    def _shard_state(self) -> None:
+        """(Re-)pin the Gaussian state to the mesh's Gaussian-axis layout."""
+        from dnsplatter_tpu.parallel.sharding import shard_gaussian_state
+
+        self.params, self.alive, self.adam, self.stats = shard_gaussian_state(
+            self.mesh, self.params, self.alive, self.adam, self.stats
+        )
+
     def _get_step_fn(self, camera: Camera, sh_degree: int) -> Callable:
         keyt = (camera.width, camera.height, sh_degree)
         if keyt not in self._step_fns:
-            self._step_fns[keyt] = make_train_step(
-                self.model_cfg, self.optim_cfg, self._raster_cfg(camera), sh_degree
-            )
+            if self.mesh is not None:
+                from dnsplatter_tpu.parallel.sharding import (
+                    make_sharded_train_step,
+                )
+
+                self._step_fns[keyt] = make_sharded_train_step(
+                    self.model_cfg, self.optim_cfg, self._raster_cfg(camera),
+                    sh_degree, self.mesh,
+                )
+            else:
+                self._step_fns[keyt] = make_train_step(
+                    self.model_cfg, self.optim_cfg, self._raster_cfg(camera),
+                    sh_degree,
+                )
         return self._step_fns[keyt]
 
     def _refinement(self, camera: Camera) -> None:
@@ -263,6 +300,11 @@ class Trainer:
             and step % reset_interval == cfg.refine_every
         ):
             self.params, self.adam = reset_opacity(cfg, self.params, self.adam)
+        if self.mesh is not None:
+            # Refinement scatters run under GSPMD on the sharded state but
+            # output layouts are compiler-chosen; re-pin so the next train
+            # step sees the expected Gaussian-axis sharding.
+            self._shard_state()
 
     def eval_image(self, index: int = 0, eval_data=None) -> Dict[str, float]:
         """Render one eval frame and compute quick metrics (the

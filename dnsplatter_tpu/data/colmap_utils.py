@@ -113,8 +113,18 @@ def read_points3d_bin(path: Path) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
+def camera_distortion(cam: ColmapCamera):
+    """(params (6,) in [k1,k2,k3,k4,p1,p2] order | None, camera_type) for
+    a COLMAP camera — use with data/distortion.undistort_image. Parity:
+    scannetpp_dataparser.py:170-171, 312-325 (nerfstudio camera params)."""
+    from dnsplatter_tpu.data.distortion import colmap_distortion
+
+    return colmap_distortion(cam.model, cam.params)
+
+
 def camera_intrinsics(cam: ColmapCamera) -> Tuple[float, float, float, float]:
-    """(fx, fy, cx, cy); distortion ignored (images assumed undistorted)."""
+    """(fx, fy, cx, cy); distortion via `camera_distortion` (images are
+    undistorted on load by the dataset when params are present)."""
     p = cam.params
     if cam.model == "SIMPLE_PINHOLE" or cam.model.startswith("SIMPLE_RADIAL"):
         return float(p[0]), float(p[0]), float(p[1]), float(p[2])

@@ -37,6 +37,11 @@ class FrameSpec:
     normal_path: Optional[Path] = None
     confidence_path: Optional[Path] = None
     mask_path: Optional[Path] = None
+    # Lens distortion, nerfstudio order [k1, k2, k3, k4, p1, p2]; images
+    # are undistorted on load (the rasterizer is pinhole-only, like
+    # gsplat; nerfstudio's datamanager does the same with cv2).
+    distortion: Optional[np.ndarray] = None
+    camera_type: str = "perspective"  # or "fisheye"
 
 
 @dataclasses.dataclass
@@ -71,6 +76,16 @@ class SceneDataset:
         f = self.frames[i]
         return Camera.create(f.fx, f.fy, f.cx, f.cy, f.c2w, f.width, f.height)
 
+    def _undistort(self, f: FrameSpec, arr: np.ndarray,
+                   nearest: bool) -> np.ndarray:
+        if f.distortion is None or not np.any(np.asarray(f.distortion)):
+            return arr
+        from dnsplatter_tpu.data.distortion import undistort_image
+
+        return undistort_image(arr, f.fx, f.fy, f.cx, f.cy,
+                               np.asarray(f.distortion), f.camera_type,
+                               nearest=nearest)
+
     def get(self, i: int):
         if self.cache and i in self._cache:
             return self._cache[i]
@@ -80,6 +95,7 @@ class SceneDataset:
         img = io.read_image(f.image_path)
         if img.shape[:2] != (f.height, f.width):
             img = io.resize_image(img, f.height, f.width)
+        img = self._undistort(f, img, nearest=False)
         batch["image"] = img
 
         if f.sensor_depth_path is not None:
@@ -99,29 +115,30 @@ class SceneDataset:
                 d = np.asarray(
                     euclidean_to_z_depth(jnp.asarray(d), f.fx, f.fy, f.cx, f.cy)
                 )
-            batch["sensor_depth"] = d
+            batch["sensor_depth"] = self._undistort(f, d, nearest=True)
         if f.mono_depth_path is not None:
             d = io.read_depth(f.mono_depth_path, self.dataparser_scale)
             if d.shape[:2] != (f.height, f.width):
                 d = io.resize_image(d[..., 0], f.height, f.width,
                                     nearest=True)[..., None]
-            batch["mono_depth"] = d
+            batch["mono_depth"] = self._undistort(f, d, nearest=True)
         if f.normal_path is not None:
             c2w = f.c2w if self.normal_frame == "world" else None
             n = io.read_normal(f.normal_path, self.normal_format, c2w)
             if n.shape[:2] != (f.height, f.width):
                 n = io.resize_image(n, f.height, f.width)
-            batch["normal"] = n
+            batch["normal"] = self._undistort(f, n, nearest=False)
         if f.confidence_path is not None:
             c = io.read_depth(f.confidence_path, 1.0)
             if c.shape[:2] != (f.height, f.width):
                 c = io.resize_image(c[..., 0], f.height, f.width,
                                     nearest=True)[..., None]
-            batch["confidence"] = c
+            batch["confidence"] = self._undistort(f, c, nearest=True)
         if f.mask_path is not None:
             m = io.read_image(f.mask_path)[..., :1]
             if m.shape[:2] != (f.height, f.width):
                 m = io.resize_image(m, f.height, f.width, nearest=True)
+            m = self._undistort(f, m, nearest=True)
             batch["mask"] = (m > 0.5).astype(np.float32)
 
         out = (cam, batch)

@@ -63,6 +63,7 @@ def parse(cfg: CoolerMapParserConfig, split: str = "train") -> SceneDataset:
     for i, im in enumerate(items):
         cam = cams[im.camera_id]
         fx, fy, cx, cy = cu.camera_intrinsics(cam)
+        dist, cam_type = cu.camera_distortion(cam)
         frames.append(
             FrameSpec(
                 image_path=data_dir / cfg.images_path / im.name,
@@ -77,6 +78,8 @@ def parse(cfg: CoolerMapParserConfig, split: str = "train") -> SceneDataset:
                     normal_paths[i]
                     if cfg.load_normals and i < len(normal_paths) else None
                 ),
+                distortion=dist,
+                camera_type=cam_type,
             )
         )
 

@@ -142,6 +142,17 @@ def parse(cfg: NerfstudioParserConfig, split: str = "train") -> SceneDataset:
         w = int(fr.get("w", meta.get("w")))
         h = int(fr.get("h", meta.get("h")))
         d = cfg.downscale_factor or 1
+        # nerfstudio transforms.json distortion (k1..k4, p1, p2 +
+        # camera_model OPENCV / OPENCV_FISHEYE); undistorted on load.
+        import numpy as _np
+        dist = _np.array([
+            float(fr.get(k, meta.get(k, 0.0)) or 0.0)
+            for k in ("k1", "k2", "k3", "k4", "p1", "p2")
+        ])
+        if not _np.any(dist):
+            dist = None
+        cam_model = str(meta.get("camera_model", "OPENCV"))
+        cam_type = "fisheye" if "FISHEYE" in cam_model else "perspective"
         spec = FrameSpec(
             image_path=data_dir / fr["file_path"],
             c2w=poses[i],
@@ -158,6 +169,8 @@ def parse(cfg: NerfstudioParserConfig, split: str = "train") -> SceneDataset:
             normal_path=(
                 prior_for(i, normal_paths) if cfg.load_normals else None
             ),
+            distortion=dist,
+            camera_type=cam_type,
             confidence_path=(
                 prior_for(i, conf_paths) if cfg.load_confidence else None
             ),

@@ -78,6 +78,7 @@ def parse(cfg: ScannetppParserConfig, split: str = "train") -> SceneDataset:
     for i, im in enumerate(items):
         cam = cams[im.camera_id]
         fx, fy, cx, cy = cu.camera_intrinsics(cam)
+        dist, cam_type = cu.camera_distortion(cam)
         stem = Path(im.name).stem
         depth = None
         if cfg.load_depths and cfg.mode == "iphone":
@@ -100,6 +101,8 @@ def parse(cfg: ScannetppParserConfig, split: str = "train") -> SceneDataset:
                 sensor_depth_path=depth,
                 mono_depth_path=mono,
                 normal_path=normal,
+                distortion=dist,
+                camera_type=cam_type,
             )
         )
 

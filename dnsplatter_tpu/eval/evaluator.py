@@ -161,6 +161,8 @@ def evaluate(
             agg[k] = m
             agg[f"{k}_std"] = s
         agg["num_images"] = len(per_image)
+    if lpips_fn is None:
+        agg["lpips_kind"] = M.default_lpips_kind()
 
     if extract_pointcloud and pcd_pts and reference_points is not None:
         from dnsplatter_tpu.eval.icp import (

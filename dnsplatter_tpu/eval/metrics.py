@@ -7,9 +7,19 @@
   * PDMetrics: point-cloud accuracy (90th-percentile NN distance) and
     completeness (% of gt within 5 cm) via scipy cKDTree (metrics.py:11-56)
 
-LPIPS needs pretrained VGG16 features; with no network egress the weights
-must be supplied as an .npz (see `lpips_from_npz`). When absent, LPIPS
-reports NaN rather than failing the whole eval.
+LPIPS needs pretrained VGG16 features. Resolution order (see
+`default_lpips`):
+  1. an .npz of official VGG16-LPIPS weights (export offline with
+     scripts/export_lpips_weights.py) found via $DNSPLATTER_LPIPS_WEIGHTS,
+     <repo>/weights/lpips_vgg.npz, or ~/.cache/dnsplatter_tpu/;
+  2. otherwise a DETERMINISTIC randomly-initialized VGG16 feature
+     distance (fixed seed). Random-convnet features are an established
+    perceptual metric (Amir & Weiss 2021, "Understanding and
+    Simplifying Perceptual Distances"): they rank image similarity much
+    like trained LPIPS, so the fallback is valid for RELATIVE
+    comparisons within this framework, but its absolute values are NOT
+    comparable to published LPIPS tables — the metric dict carries
+    `lpips_kind` so results are never silently conflated.
 """
 
 from __future__ import annotations
@@ -37,6 +47,8 @@ def rgb_metrics(pred: jax.Array, gt: jax.Array,
         "ssim": float(ssim_fn(pred, gt, kernel_size=11)),
         "mse": float(jnp.mean((pred - gt) ** 2)),
     }
+    if lpips_fn is None:
+        lpips_fn = default_lpips()
     out["lpips"] = float(lpips_fn(pred, gt)) if lpips_fn else float("nan")
     return out
 
@@ -134,17 +146,28 @@ def _vgg_features(params, x: jax.Array):
     return feats
 
 
-def lpips_from_npz(path: Path):
-    """Build an LPIPS callable from an .npz of VGG16 conv weights
-    (conv{i}_w HWIO, conv{i}_b) plus linear head weights (lin{j}: (C,)).
+def random_vgg_lpips_params(seed: int = 0):
+    """Deterministic He-initialized VGG16 + uniform linear heads — the
+    random-feature perceptual-distance fallback (see module docstring)."""
+    rng = np.random.default_rng(seed)
+    params = {}
+    in_ch = 3
+    i = 0
+    for block, n_convs in enumerate(_VGG_LAYERS):
+        out_ch = _VGG_CHANNELS[block]
+        for _ in range(n_convs):
+            fan_in = 3 * 3 * in_ch
+            w = rng.normal(0.0, np.sqrt(2.0 / fan_in),
+                           (3, 3, in_ch, out_ch)).astype(np.float32)
+            params[f"conv{i}_w"] = jnp.asarray(w)
+            params[f"conv{i}_b"] = jnp.zeros((out_ch,), jnp.float32)
+            in_ch = out_ch
+            i += 1
+        params[f"lin{block}"] = jnp.full((out_ch,), 1.0 / out_ch, jnp.float32)
+    return params
 
-    Produce the file offline with
-    `python -m dnsplatter_tpu.scripts.export_lpips_weights` on a machine
-    with torchvision + lpips installed.
-    """
-    z = np.load(path)
-    params = {k: jnp.asarray(z[k]) for k in z.files}
 
+def _lpips_from_params(params):
     @jax.jit
     def lpips(pred, gt):
         a = _vgg_features(params, pred * 2.0 - 1.0)
@@ -163,3 +186,55 @@ def lpips_from_npz(path: Path):
         return total
 
     return lpips
+
+
+_DEFAULT_LPIPS = None
+_DEFAULT_LPIPS_KIND = None
+
+
+def lpips_weight_search_paths():
+    import os
+
+    paths = []
+    env = os.environ.get("DNSPLATTER_LPIPS_WEIGHTS")
+    if env:
+        paths.append(Path(env))
+    paths.append(Path(__file__).resolve().parents[2] / "weights"
+                 / "lpips_vgg.npz")
+    paths.append(Path.home() / ".cache" / "dnsplatter_tpu" / "lpips_vgg.npz")
+    return paths
+
+
+def default_lpips():
+    """Official-weight LPIPS when an npz is found, else the deterministic
+    random-VGG fallback. Cached; kind via `default_lpips_kind()`."""
+    global _DEFAULT_LPIPS, _DEFAULT_LPIPS_KIND
+    if _DEFAULT_LPIPS is not None:
+        return _DEFAULT_LPIPS
+    for p in lpips_weight_search_paths():
+        if p.exists():
+            _DEFAULT_LPIPS = lpips_from_npz(p)
+            _DEFAULT_LPIPS_KIND = "vgg16-lpips"
+            return _DEFAULT_LPIPS
+    _DEFAULT_LPIPS = _lpips_from_params(random_vgg_lpips_params())
+    _DEFAULT_LPIPS_KIND = "random-vgg(relative-only)"
+    return _DEFAULT_LPIPS
+
+
+def default_lpips_kind() -> str:
+    if _DEFAULT_LPIPS_KIND is None:
+        default_lpips()
+    return _DEFAULT_LPIPS_KIND
+
+
+def lpips_from_npz(path: Path):
+    """Build an LPIPS callable from an .npz of VGG16 conv weights
+    (conv{i}_w HWIO, conv{i}_b) plus linear head weights (lin{j}: (C,)).
+
+    Produce the file offline with
+    `python -m dnsplatter_tpu.scripts.export_lpips_weights` on a machine
+    with torchvision + lpips installed.
+    """
+    z = np.load(path)
+    params = {k: jnp.asarray(z[k]) for k in z.files}
+    return _lpips_from_params(params)

@@ -25,3 +25,28 @@ def test_ssim_identity_and_contrast():
     img = jnp.asarray(rng.uniform(size=(48, 48, 3)).astype(np.float32))
     assert float(ssim(img, img)) > 0.999
     assert float(ssim(img, 1.0 - img)) < 0.5
+
+
+def test_default_lpips_fallback():
+    """With no weight npz shipped, rgb_lpips must still be a real number
+    (deterministic random-VGG perceptual distance), monotone in
+    distortion, and labeled via lpips_kind."""
+    from dnsplatter_tpu.eval import metrics as M
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    noisy = np.clip(img + rng.normal(0, 0.1, img.shape), 0, 1).astype(
+        np.float32
+    )
+    very_noisy = np.clip(img + rng.normal(0, 0.4, img.shape), 0, 1).astype(
+        np.float32
+    )
+    m_same = M.rgb_metrics(jnp.asarray(img), jnp.asarray(img))
+    m_noisy = M.rgb_metrics(jnp.asarray(img), jnp.asarray(noisy))
+    m_very = M.rgb_metrics(jnp.asarray(img), jnp.asarray(very_noisy))
+    assert np.isfinite(m_same["lpips"])
+    assert m_same["lpips"] < 1e-6
+    assert m_noisy["lpips"] > m_same["lpips"]
+    assert m_very["lpips"] > m_noisy["lpips"]
+    assert "random-vgg" in M.default_lpips_kind() or \
+        M.default_lpips_kind() == "vgg16-lpips"

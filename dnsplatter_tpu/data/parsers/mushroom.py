@@ -45,6 +45,16 @@ class MushroomParserConfig:
     load_3D_points: bool = True
     depth_unit_scale_factor: float = 1e-3
     max_image_dim: int = 1600  # auto-downscale target (:868-886)
+    # Seed-cloud policy (mushroom_dataparser.py:474-568): regenerate the
+    # <mode>_pointcloud.ply from capture data when missing, and resample
+    # it to exactly num_init_points.
+    num_init_points: int = 1_000_000
+    regenerate_seed_cloud: bool = True
+    seed_cloud_tsdf: bool = False  # TSDF-fuse instead of backprojection
+    # Prior autogeneration (:579-697): the reference runs gated networks
+    # (ZoeDepth/Omnidata); the in-repo weight-free route derives normals
+    # from the sensor depth when normals_from_pretrain/ is absent.
+    auto_generate_normals: bool = True
 
 
 def _load_capture(capture_dir: Path, cfg: MushroomParserConfig):
@@ -85,11 +95,14 @@ def _load_capture(capture_dir: Path, cfg: MushroomParserConfig):
                 depth = cand if cand.exists() else None
         normal = None
         if cfg.load_normals:
-            cand = (
-                capture_dir / "normals_from_pretrain"
-                / (Path(fr["file_path"]).stem + ".png")
-            )
-            normal = cand if cand.exists() else None
+            for d_name in ("normals_from_pretrain", "normals_from_depth"):
+                cand = (
+                    capture_dir / d_name
+                    / (Path(fr["file_path"]).stem + ".png")
+                )
+                if cand.exists():
+                    normal = cand
+                    break
         conf = None
         if cfg.load_depth_confidence_masks:
             cand = (
@@ -142,11 +155,75 @@ def _ensure_confidence_masks(capture_dir: Path, specs, cfg) -> None:
         sp.confidence_path = out_dir / f"{sp.image_path.stem}.jpg"
 
 
+def _ensure_normals(capture_dir: Path, specs, cfg) -> None:
+    """Derive per-frame normal maps from sensor depth when no
+    normals_from_pretrain/ exists (reference autogenerates missing priors
+    in the parser, mushroom_dataparser.py:579-697; the weight-free route
+    here is scripts/normals_from_depth)."""
+    if not cfg.auto_generate_normals or not specs:
+        return
+    if any(sp.normal_path is not None for sp in specs):
+        return
+    if not any(sp.sensor_depth_path is not None for sp in specs):
+        return
+    from dnsplatter_tpu.scripts.normals_from_depth import (
+        normal_image_from_depth,
+    )
+
+    out_dir = capture_dir / "normals_from_depth"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for sp in specs:
+        if sp.sensor_depth_path is None:
+            continue
+        out = out_dir / f"{sp.image_path.stem}.png"
+        if not out.exists():
+            depth = io.read_depth(sp.sensor_depth_path,
+                                  cfg.depth_unit_scale_factor)
+            sy = depth.shape[0] / sp.height
+            sx = depth.shape[1] / sp.width
+            n = normal_image_from_depth(depth, sp.fx * sx, sp.fy * sy,
+                                        sp.cx * sx, sp.cy * sy)
+            io.write_image(out, n)
+        sp.normal_path = out
+
+
+def _ensure_seed_cloud(cfg: MushroomParserConfig) -> Optional[Path]:
+    """Locate (or reconstruct) the seed cloud
+    (mushroom_dataparser.py:474-568)."""
+    base = Path(cfg.data) / cfg.mode
+    ply = Path(cfg.data) / f"{cfg.mode}_pointcloud.ply"
+    if ply.exists():
+        return ply
+    cands = list(Path(cfg.data).glob("*.ply"))
+    if cands:
+        return cands[0]
+    if not cfg.regenerate_seed_cloud:
+        return None
+    from dnsplatter_tpu.data import pointcloud_utils as pu
+
+    long_dir = base / "long_capture"
+    try:
+        if cfg.mode == "kinect" and (long_dir / "PointCloud").exists():
+            return pu.generate_kinect_pointcloud(
+                long_dir, ply, num_points=cfg.num_init_points
+            )
+        return pu.generate_iphone_pointcloud(
+            long_dir, ply, num_points=cfg.num_init_points,
+            use_tsdf=cfg.seed_cloud_tsdf,
+            depth_scale=cfg.depth_unit_scale_factor,
+        )
+    except FileNotFoundError:
+        return None
+
+
 @register("mushroom")
 def parse(cfg: MushroomParserConfig, split: str = "train") -> SceneDataset:
     base = Path(cfg.data) / cfg.mode
     long_specs, long_poses = _load_capture(base / "long_capture", cfg)
     short_specs, short_poses = _load_capture(base / "short_capture", cfg)
+    if cfg.load_normals:
+        _ensure_normals(base / "long_capture", long_specs, cfg)
+        _ensure_normals(base / "short_capture", short_specs, cfg)
     if cfg.load_depth_confidence_masks:
         _ensure_confidence_masks(base / "long_capture", long_specs, cfg)
         _ensure_confidence_masks(base / "short_capture", short_specs, cfg)
@@ -199,16 +276,23 @@ def parse(cfg: MushroomParserConfig, split: str = "train") -> SceneDataset:
         protocols=protocols,
     )
     if cfg.load_3D_points:
-        ply = Path(cfg.data) / f"{cfg.mode}_pointcloud.ply"
-        if not ply.exists():
-            cands = list(Path(cfg.data).glob("*.ply"))
-            ply = cands[0] if cands else None
+        ply = _ensure_seed_cloud(cfg)
         if ply and ply.exists():
             cloud = io.read_ply(ply)
-            ds.seed_points = apply_transform_to_points(
-                cloud["points"], transform, scale
-            )
-            ds.seed_colors = cloud.get("colors")
-            if "normals" in cloud:
-                ds.seed_normals = cloud["normals"] @ transform[:3, :3].T
+            pts = cloud["points"]
+            cols = cloud.get("colors")
+            nrms = cloud.get("normals")
+            if len(pts) != cfg.num_init_points:
+                # regeneration to num_init_points (:521-538)
+                from dnsplatter_tpu.data.pointcloud_utils import (
+                    resample_to_num_points,
+                )
+
+                pts, cols, nrms = resample_to_num_points(
+                    pts, cols, nrms, cfg.num_init_points
+                )
+            ds.seed_points = apply_transform_to_points(pts, transform, scale)
+            ds.seed_colors = cols
+            if nrms is not None:
+                ds.seed_normals = nrms @ transform[:3, :3].T
     return ds

@@ -41,6 +41,46 @@ class ScannetppParserConfig:
     center_method: str = "poses"
     load_depths: bool = True
     load_normals: bool = True
+    # iphone seed cloud: fuse RGB-D frames instead of COLMAP sparse
+    # points (scannetpp_utils/pointcloud_utils.py:10-84)
+    iphone_tsdf_seed: bool = True
+    seed_cloud_tsdf: bool = False  # True = TSDF fuse; False = backproject
+    num_init_points: int = 1_000_000
+
+
+def _write_transforms_json(seq_dir: Path, images_dir: Path, items, cams,
+                           test_names=None) -> None:
+    """Write the canonical transforms.json (+ transforms_test.json) from
+    the COLMAP model — reference scannetpp_dataparser.py:255-280. Also
+    what the RGB-D seed fusion reads."""
+    import dnsplatter_tpu.data.colmap_utils as cu
+
+    depth_dir = seq_dir / "depth"
+    frames, test_frames = [], []
+    for im in items:
+        cam = cams[im.camera_id]
+        fx, fy, cx, cy = cu.camera_intrinsics(cam)
+        stem = Path(im.name).stem
+        fr = {
+            "file_path": f"{images_dir.name}/{Path(im.name).name}",
+            "transform_matrix": cu.image_c2w_opengl(im).tolist(),
+            "fl_x": fx, "fl_y": fy, "cx": cx, "cy": cy,
+            "w": cam.width, "h": cam.height,
+        }
+        d = depth_dir / f"{stem}.png"
+        if d.exists():
+            fr["depth_file_path"] = f"depth/{stem}.png"
+        if test_names and Path(im.name).name in test_names:
+            test_frames.append(fr)
+        else:
+            frames.append(fr)
+    (seq_dir / "transforms.json").write_text(
+        json.dumps({"frames": frames}, indent=1)
+    )
+    if test_frames:
+        (seq_dir / "transforms_test.json").write_text(
+            json.dumps({"frames": test_frames}, indent=1)
+        )
 
 
 @register("scannetpp")
@@ -126,7 +166,36 @@ def parse(cfg: ScannetppParserConfig, split: str = "train") -> SceneDataset:
         depth_unit_scale_factor=1e-3,
         dataparser_scale=scale,
     )
-    if xyz is not None:
+    if xyz is not None and (cfg.mode == "dslr" or not cfg.iphone_tsdf_seed):
         ds.seed_points = apply_transform_to_points(xyz, transform, scale)
         ds.seed_colors = rgb
+    elif split == "train" and cfg.mode == "iphone":
+        # TSDF/backprojection-fused iphone seed cloud (reference
+        # scannetpp_utils/pointcloud_utils.py:10-84) — denser and less
+        # noisy than the raw COLMAP sparse points.
+        from dnsplatter_tpu.data import io as _io
+        from dnsplatter_tpu.data import pointcloud_utils as pu
+
+        ply = seq_dir / "iphone_pointcloud.ply"
+        try:
+            if not ply.exists():
+                if not (seq_dir / "transforms.json").exists():
+                    _write_transforms_json(seq_dir, images_dir, items, cams)
+                pu.generate_iphone_pointcloud(
+                    seq_dir, ply, num_points=cfg.num_init_points,
+                    use_tsdf=cfg.seed_cloud_tsdf,
+                )
+            cloud = _io.read_ply(ply)
+            ds.seed_points = apply_transform_to_points(
+                cloud["points"], transform, scale
+            )
+            ds.seed_colors = cloud.get("colors")
+            if "normals" in cloud:
+                ds.seed_normals = cloud["normals"] @ transform[:3, :3].T
+        except FileNotFoundError:
+            if xyz is not None:
+                ds.seed_points = apply_transform_to_points(
+                    xyz, transform, scale
+                )
+                ds.seed_colors = rgb
     return ds

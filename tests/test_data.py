@@ -136,3 +136,61 @@ def test_transforms_json_parser(tmp_path):
     cam, batch = train.get(0)
     assert batch["image"].shape == (24, 32, 3)
     assert cam.width == 32 and cam.height == 24
+
+
+def _write_fake_mushroom(root, n_frames=4, w=32, h=24):
+    """Depth-only MuSHRoom layout: no ply, no normals — the parser must
+    reconstruct both (mushroom_dataparser.py:474-697 autogeneration)."""
+    import json as _json
+
+    rng = np.random.default_rng(0)
+    for capture in ("long_capture", "short_capture"):
+        cdir = root / "iphone" / capture
+        (cdir / "images").mkdir(parents=True)
+        (cdir / "depth").mkdir(parents=True)
+        frames = []
+        n = n_frames if capture == "long_capture" else 2
+        for i in range(n):
+            img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+            io.write_image(cdir / "images" / f"{i:04d}.png", img)
+            depth = rng.uniform(1.0, 2.0, (h, w)).astype(np.float32)
+            io.write_depth_png(cdir / "depth" / f"{i:04d}.png", depth)
+            c2w = np.eye(4)
+            c2w[0, 3] = 0.1 * i
+            frames.append({
+                "file_path": f"images/{i:04d}.png",
+                "depth_file_path": f"depth/{i:04d}.png",
+                "transform_matrix": c2w.tolist(),
+            })
+        meta = {"fl_x": 40.0, "fl_y": 40.0, "cx": w / 2, "cy": h / 2,
+                "w": w, "h": h, "frames": frames}
+        (cdir / "transformations.json").write_text(_json.dumps(meta))
+    (root / "iphone" / "long_capture" / "test.txt").write_text("0003\n")
+
+
+def test_mushroom_seed_cloud_and_normal_autogeneration(tmp_path):
+    """Depth-only layout -> parse() yields an exactly-num_init_points seed
+    cloud with normals and per-frame normal maps, no manual steps."""
+    from dnsplatter_tpu.data.parsers.mushroom import (
+        MushroomParserConfig, parse,
+    )
+
+    _write_fake_mushroom(tmp_path)
+    cfg = MushroomParserConfig(data=tmp_path, num_init_points=5000)
+    ds = parse(cfg, "train")
+    assert ds.seed_points is not None and len(ds.seed_points) == 5000
+    assert ds.seed_colors is not None and len(ds.seed_colors) == 5000
+    assert ds.seed_normals is not None
+    nl = np.linalg.norm(ds.seed_normals, axis=-1)
+    assert np.isfinite(ds.seed_points).all()
+    assert (nl > 0.5).mean() > 0.7  # mostly unit normals (random depth is noisy)
+    # per-frame normal maps generated from depth
+    gen_dir = tmp_path / "iphone" / "long_capture" / "normals_from_depth"
+    assert gen_dir.exists() and len(list(gen_dir.glob("*.png"))) > 0
+    cam, batch = ds.get(0)
+    assert "normal" in batch and batch["normal"].shape[-1] == 3
+    # regenerated ply cached on disk
+    assert (tmp_path / "iphone_pointcloud.ply").exists()
+    # eval split still parses
+    ds_eval = parse(cfg, "val")
+    assert len(ds_eval) == 2  # short capture (eval_mode="with")

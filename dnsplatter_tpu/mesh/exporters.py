@@ -266,13 +266,19 @@ def export_isofusion(params, alive, data, output_dir: Path,
                      model_cfg: ModelConfig = ModelConfig(),
                      sh_degree: int = 3,
                      voxel_size: float = 0.02,
-                     depth_max: float = 5.0) -> Path:
+                     depth_max: float = 5.0,
+                     adaptive: bool = True,
+                     coarse_res: int = 64,
+                     octree_levels: int = 3) -> Path:
     """AGS-Mesh two-pass normal-weighted fusion (isooctree_dn.py role):
     render depth + surface normals per train camera, fuse with
     reference-normal weighting and back-face masking, extract the
-    isosurface."""
+    isosurface. `adaptive=True` meshes through the octree isosurfacer
+    (mesh/octree.py, the IsoOctree analogue: effective resolution
+    coarse_res * 2**octree_levels with near-surface-only evaluation);
+    `adaptive=False` keeps the dense-grid route at `voxel_size`."""
     from dnsplatter_tpu.mesh.isofusion import (
-        IsoFusionConfig, extract, fuse_normal_weighted,
+        IsoFusionConfig, extract, fuse_normal_weighted, make_isofunc,
     )
 
     output_dir = Path(output_dir)
@@ -293,11 +299,23 @@ def export_isofusion(params, alive, data, output_dir: Path,
                  cy=float(cam.cy))
         )
     bounds = tsdf_lib.scene_bounds_from_cameras(cams, depth_max)
+    out_path = output_dir / "IsoFusion_mesh.ply"
+    if adaptive:
+        from dnsplatter_tpu.mesh.octree import adaptive_isosurface
+
+        span = float(np.max(np.asarray(bounds[1]) - np.asarray(bounds[0])))
+        cfg = IsoFusionConfig(voxel_size=span / (coarse_res * 2**octree_levels))
+        isofunc = make_isofunc(frames, cfg)
+        verts, faces = adaptive_isosurface(
+            isofunc, bounds[0], bounds[1],
+            coarse_res=coarse_res, levels=octree_levels,
+        )
+        io.write_ply(out_path, verts, faces=faces)
+        return out_path
     vol = fuse_normal_weighted(
         frames, bounds, IsoFusionConfig(voxel_size=voxel_size)
     )
     verts, faces, cols = extract(vol)
-    out_path = output_dir / "IsoFusion_mesh.ply"
     io.write_ply(out_path, verts, colors=cols, faces=faces)
     return out_path
 

@@ -154,3 +154,69 @@ def fuse_normal_weighted(
 
 def extract(vol: tsdf_lib.TSDFVolume, min_weight: float = 1.0):
     return tsdf_lib.extract_mesh(vol, min_weight)
+
+
+def make_isofunc(
+    frames: List[dict],
+    cfg: IsoFusionConfig = IsoFusionConfig(),
+    trunc: Optional[float] = None,
+):
+    """Point-wise two-pass fused-TSDF isoFunc for the adaptive octree
+    mesher (mesh/octree.py) — the direct analogue of isooctree_dn.py's
+    isoFunc (:460-482): callable (N, 3) world points -> (N,) signed
+    values, +1 in unobserved space. Unlike `fuse_normal_weighted` there
+    is no dense grid — the octree evaluates only near-surface points."""
+    trunc = trunc if trunc is not None else cfg.tsdf_rel * cfg.voxel_size
+
+    prepped = []
+    for fr in frames:
+        c2w_cv = np.asarray(fr["c2w_gl"]) @ np.diag([1.0, -1.0, -1.0, 1.0])
+        w2c = np.linalg.inv(c2w_cv).astype(np.float32)
+        validity = depth_validity_mask(fr["depth"], cfg.depth_validity_rel)
+        prepped.append(
+            dict(
+                depth=jnp.asarray(fr["depth"][..., 0], jnp.float32),
+                normal=jnp.asarray(fr["normal_w"], jnp.float32),
+                validity=jnp.asarray(validity),
+                w2c=jnp.asarray(w2c),
+                cam_pos=jnp.asarray(c2w_cv[:3, 3], jnp.float32),
+                fx=float(fr["fx"]), fy=float(fr["fy"]),
+                cx=float(fr["cx"]), cy=float(fr["cy"]),
+                h=fr["depth"].shape[0], w=fr["depth"].shape[1],
+            )
+        )
+
+    def eval_fn(points: np.ndarray) -> np.ndarray:
+        pts = jnp.asarray(points, jnp.float32)
+        n = pts.shape[0]
+        ref = jnp.zeros((n, 3))
+        for p in prepped:
+            sdf, nrm, ray, ok = _observe(
+                pts, p["depth"], p["normal"], p["validity"], p["w2c"],
+                p["cam_pos"], p["fx"], p["fy"], p["cx"], p["cy"],
+                p["h"], p["w"], trunc,
+            )
+            band = ok & (jnp.abs(sdf) <= trunc)
+            wgt = jnp.where(band, jnp.abs(jnp.sum(nrm * ray, -1)), 0.0)
+            ref = ref + wgt[:, None] * nrm
+        ref = ref / jnp.maximum(
+            jnp.linalg.norm(ref, axis=-1, keepdims=True), 1e-12
+        )
+        acc = jnp.zeros((n,))
+        wsum = jnp.zeros((n,))
+        for p in prepped:
+            sdf, nrm, ray, ok = _observe(
+                pts, p["depth"], p["normal"], p["validity"], p["w2c"],
+                p["cam_pos"], p["fx"], p["fy"], p["cx"], p["cy"],
+                p["h"], p["w"], trunc,
+            )
+            agree = jnp.sum(nrm * ref, -1)
+            w_obs = jnp.where(ok & (agree > cfg.back_mask_dot),
+                              jnp.maximum(agree, 0.0), 0.0)
+            acc = acc + w_obs * jnp.clip(sdf / trunc, -1.0, 1.0)
+            wsum = wsum + w_obs
+        fused = jnp.where(wsum >= cfg.min_weight, acc / jnp.maximum(wsum, 1e-8),
+                          1.0)
+        return np.asarray(fused)
+
+    return eval_fn

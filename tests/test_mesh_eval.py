@@ -157,3 +157,24 @@ def test_poisson_reconstruction():
     assert len(faces) > 1000
     r = np.linalg.norm(verts, axis=1)
     assert abs(r.mean() - 0.5) < 0.05 and r.std() < 0.05
+
+
+def test_export_isofusion_adaptive(tmp_path):
+    """Adaptive-octree isofusion export end-to-end on a synthetic scene."""
+    from dnsplatter_tpu.data.synthetic import make_synthetic_scene
+    from dnsplatter_tpu.mesh import exporters as E
+
+    scene = make_synthetic_scene(seed=0, n_gaussians=200, n_cameras=4,
+                                 width=48, height=48,
+                                 pair_capacity=1 << 12)
+    out = E.export_isofusion(
+        scene.gt_params, scene.gt_alive, scene, tmp_path,
+        sh_degree=0, adaptive=True, coarse_res=24, octree_levels=2,
+    )
+    assert out.exists()
+    from dnsplatter_tpu.data.io import read_ply
+
+    mesh = read_ply(out)
+    assert len(mesh["points"]) > 50
+    assert len(mesh["faces"]) > 50
+    assert np.isfinite(mesh["points"]).all()

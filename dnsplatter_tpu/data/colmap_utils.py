@@ -161,11 +161,18 @@ def read_cameras_txt(path: Path) -> Dict[int, ColmapCamera]:
 
 def read_images_txt(path: Path) -> Dict[int, ColmapImage]:
     imgs = {}
+    # Two lines per image; the second (POINTS2D) line MAY be empty — keep
+    # blank lines so the pairing stays aligned (a blank points2d line is
+    # valid COLMAP output for images with no triangulated observations).
     lines = [
         l for l in Path(path).read_text().splitlines()
-        if l.strip() and not l.startswith("#")
+        if not l.startswith("#")
     ]
-    for i in range(0, len(lines), 2):
+    i = 0
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1  # stray blank between records
+            continue
         parts = lines[i].split()
         img_id = int(parts[0])
         q = np.array([float(x) for x in parts[1:5]])
@@ -174,6 +181,7 @@ def read_images_txt(path: Path) -> Dict[int, ColmapImage]:
         name = parts[9]
         imgs[img_id] = ColmapImage(q, t, cam_id, name,
                                    np.zeros((0, 2)), np.zeros((0,), np.int64))
+        i += 2  # skip the POINTS2D line (possibly empty)
     return imgs
 
 

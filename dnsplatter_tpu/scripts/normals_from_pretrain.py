@@ -76,16 +76,49 @@ def run_monocular_normals(image_dir: Path, out_dir: Path,
     return len(images)
 
 
+def run_monocular_normals_hd(image_dir: Path, out_dir: Path,
+                             ckpt_path: Path, patch: int = 384) -> int:
+    """HD variant (reference :238-285): overlapping-patch inference +
+    Kabsch-aligned merge (scripts/normals_hd.py)."""
+    import torch
+
+    from dnsplatter_tpu.data import io
+    from dnsplatter_tpu.scripts.normals_hd import predict_normals_hd
+
+    model = load_omnidata(ckpt_path)
+
+    def predictor(rgb: np.ndarray) -> np.ndarray:
+        with torch.no_grad():
+            t = torch.from_numpy(
+                np.transpose(rgb, (2, 0, 1)).astype(np.float32)
+            )[None]
+            n01 = model(t).squeeze(0).cpu().numpy()  # (3, H, W) in [0, 1]
+        return np.transpose(n01, (1, 2, 0)) * 2.0 - 1.0
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    images = sorted(
+        p for p in image_dir.glob("*") if p.suffix in (".png", ".jpg")
+    )
+    for img_path in images:
+        rgb = io.read_image(img_path)
+        n = predict_normals_hd(rgb, predictor, patch=patch)
+        io.write_image(out_dir / f"{img_path.stem}.png",
+                       np.clip((n + 1.0) * 0.5, 0, 1))
+    return len(images)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--data", type=Path, required=True)
     p.add_argument("--image-dir", type=Path, default=None)
     p.add_argument("--ckpt", type=Path,
                    default=Path("omnidata_dpt_normal_v2.ckpt"))
+    p.add_argument("--hd", action="store_true",
+                   help="overlapping-patch HD inference + aligned merge")
     args = p.parse_args(argv)
     image_dir = args.image_dir or args.data / "images"
-    n = run_monocular_normals(image_dir,
-                              args.data / "normals_from_pretrain", args.ckpt)
+    run = run_monocular_normals_hd if args.hd else run_monocular_normals
+    n = run(image_dir, args.data / "normals_from_pretrain", args.ckpt)
     print(f"wrote {n} normal maps")
 
 

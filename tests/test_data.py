@@ -194,3 +194,42 @@ def test_mushroom_seed_cloud_and_normal_autogeneration(tmp_path):
     # eval split still parses
     ds_eval = parse(cfg, "val")
     assert len(ds_eval) == 2  # short capture (eval_mode="with")
+
+
+def test_poses_to_colmap_roundtrip(tmp_path):
+    """transforms.json -> COLMAP sparse text model: our own colmap reader
+    must recover the same camera poses (conversion consistency)."""
+    import json as _json
+
+    from dnsplatter_tpu.data import colmap_utils as cu
+    from dnsplatter_tpu.scripts.poses_to_colmap_sfm import write_sparse_model
+
+    rng = np.random.default_rng(0)
+    frames = []
+    c2ws = []
+    for i in range(3):
+        # random OpenGL c2w in nerfstudio world (pre-applied transform)
+        from dnsplatter_tpu.ops.camera import look_at
+
+        eye = rng.uniform(-2, 2, 3)
+        c2w = np.asarray(look_at(eye, (0, 0, 0)))
+        c2ws.append(c2w)
+        frames.append({
+            "file_path": f"images/{i:03d}.png",
+            "transform_matrix": c2w.tolist(),
+        })
+    meta = {"camera_model": "OPENCV", "fl_x": 100.0, "fl_y": 100.0,
+            "cx": 50.0, "cy": 40.0, "w": 100, "h": 80, "frames": frames}
+    tp = tmp_path / "transforms.json"
+    tp.write_text(_json.dumps(meta))
+    sparse = write_sparse_model(
+        tp, assume_colmap_world_coordinate_convention=False
+    )
+    cams, imgs, xyz, rgb = cu.read_model(sparse)
+    assert len(cams) == 1 and len(imgs) == 3
+    fx, fy, cx, cy = cu.camera_intrinsics(list(cams.values())[0])
+    assert (fx, fy, cx, cy) == (100.0, 100.0, 50.0, 40.0)
+    items = sorted(imgs.values(), key=lambda im: im.name)
+    for im, c2w in zip(items, c2ws):
+        rec = cu.image_c2w_opengl(im)
+        np.testing.assert_allclose(rec, c2w, atol=1e-6)

@@ -67,6 +67,11 @@ class TrainConfig:
     # (densify/cull/reset) also runs on the sharded state and the layout
     # is re-pinned after each event. CLI: `--train.devices N`.
     devices: int = 0
+    # Observability (the reference trains with the nerfstudio viewer on
+    # and surfaces metrics to wandb/tb writers; dn_config.py:69-70).
+    viewer: bool = False
+    viewer_port: int = 7007
+    tensorboard: bool = False
 
 
 def make_train_step(
@@ -229,6 +234,23 @@ class Trainer:
         self._cam_nu = np.zeros((max(n_cams, 1), 6))
         self._cam_accum = np.zeros((max(n_cams, 1), 6))
         self._cam_count = 0
+        # observability: live viewer + experiment writers
+        self.viewer = None
+        if train_cfg.viewer:
+            from dnsplatter_tpu.utils.viewer import Viewer
+
+            self.viewer = Viewer(port=train_cfg.viewer_port)
+            print(f"viewer: http://127.0.0.1:{self.viewer.port}/",
+                  flush=True)
+        self._writers = []
+        if self.out_dir:
+            from dnsplatter_tpu.utils.writers import JsonlWriter
+
+            self._writers.append(JsonlWriter(self.out_dir))
+            if train_cfg.tensorboard:
+                from dnsplatter_tpu.utils.writers import TensorboardWriter
+
+                self._writers.append(TensorboardWriter(self.out_dir / "tb"))
 
     def _raster_cfg(self, camera: Camera) -> RasterizeConfig:
         tc = self.train_cfg
@@ -321,6 +343,11 @@ class Trainer:
             self._raster_cfg(cam), sh_degree=sh, training=False,
             background=jnp.zeros((3,)),
         )
+        if self.viewer is not None:
+            self.viewer.update(images={
+                "rgb": np.asarray(out["rgb"]),
+                "depth": np.asarray(out["depth"]),
+            })
         row = {
             f"rgb_{k}": v
             for k, v in M.rgb_metrics(
@@ -379,10 +406,13 @@ class Trainer:
                 loss_v = float(loss)
                 n_alive = int(jnp.sum(self.alive))
                 dt = time.time() - t0
-                self._history.append(
-                    dict(step=self.step, loss=loss_v, n_gaussians=n_alive,
-                         wall_s=round(dt, 2))
-                )
+                row = dict(step=self.step, loss=loss_v, n_gaussians=n_alive,
+                           wall_s=round(dt, 2))
+                self._history.append(row)
+                for wtr in self._writers:
+                    wtr.write_scalars(self.step, row)
+                if self.viewer is not None:
+                    self.viewer.update(stats=row)
                 print(
                     f"step {self.step:6d}  loss {loss_v:.4f}  "
                     f"gaussians {n_alive}  {dt:.1f}s",
@@ -403,6 +433,8 @@ class Trainer:
                     flush=True,
                 )
                 self._history.append(dict(step=self.step, **m))
+                for wtr in self._writers:
+                    wtr.write_scalars(self.step, m)
             if (
                 self.out_dir
                 and self.train_cfg.steps_per_save

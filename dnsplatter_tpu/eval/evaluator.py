@@ -46,6 +46,7 @@ def evaluate(
     icp_json: Optional[Path] = None,
     run_icp_if_missing: bool = True,
     pcd_stride: int = 7,
+    pcd_train_data=None,
 ) -> Dict[str, float]:
     """Evaluate over every frame of `data` (SceneSource protocol).
 
@@ -65,8 +66,7 @@ def evaluate(
                     "gt/depth", "gt/normal"):
             (output_dir / sub).mkdir(parents=True, exist_ok=True)
 
-    for i in range(len(data)):
-        cam, batch = data.get(i)
+    def _render_fn(cam):
         key = (cam.width, cam.height)
         if key not in render_fns:
             backend = (
@@ -88,6 +88,12 @@ def evaluate(
                 return out
 
             render_fns[key] = fwd
+        return render_fns[key]
+
+    for i in range(len(data)):
+        cam, batch = data.get(i)
+        key = (cam.width, cam.height)
+        _render_fn(cam)
 
         t0 = time.perf_counter()
         out = render_fns[key](params, alive, cam)
@@ -163,6 +169,22 @@ def evaluate(
         agg["num_images"] = len(per_image)
     if lpips_fn is None:
         agg["lpips_kind"] = M.default_lpips_kind()
+
+    if extract_pointcloud and pcd_train_data is not None:
+        # The reference extracts the cloud from train AND eval renders
+        # (dn_pipeline.py:286-351) before the acc/comp protocol.
+        from dnsplatter_tpu.ops.camera import backproject_depth
+
+        for i in range(len(pcd_train_data)):
+            cam, _ = pcd_train_data.get(i)
+            out = _render_fn(cam)(params, alive, cam)
+            c2w_cv = np.asarray(cam.c2w) @ np.diag([1.0, -1.0, -1.0, 1.0])
+            pts = np.asarray(
+                backproject_depth(out["depth"][..., 0], cam.fx, cam.fy,
+                                  cam.cx, cam.cy, jnp.asarray(c2w_cv))
+            ).reshape(-1, 3)
+            acc = np.asarray(out["accumulation"]).reshape(-1)
+            pcd_pts.append(pts[acc > 0.5][::pcd_stride])
 
     if extract_pointcloud and pcd_pts and reference_points is not None:
         from dnsplatter_tpu.eval.icp import (

@@ -8,18 +8,31 @@ fwd+bwd — a mid-range estimate of gsplat 1.0 on the consumer GPUs the
 reference targets (README.md:60 gives only qualitative numbers), so >1.0
 means faster than the reference stack.
 
+Honesty guarantees (round-2):
+  * the JSON line reports which backend actually ran ("backend") — a
+    Mosaic regression can no longer hide behind a silent XLA fallback
+    (any pallas failure prints the traceback to stderr and marks the
+    fallback in the JSON);
+  * before timing, a small-config pallas-vs-xla forward+gradient allclose
+    runs ON DEVICE and its result is reported ("parity");
+  * pair capacity (2^21) covers the scene's full ~1.9M intersection
+    list — no silent pair dropping.
+
 Measurement notes: the TPU in this environment sits behind a high-latency
 tunnel whose `block_until_ready` is advisory; iterations are dispatched
 without intermediate syncs (they pipeline on the device) and timed around
 one final scalar device->host transfer. Compile time is excluded.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"backend", "parity"}.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
+import traceback
 
 import jax
 
@@ -37,71 +50,110 @@ NOMINAL_GSPLAT_MPIX_S = 75.0
 
 N_GAUSS = 100_000
 WIDTH, HEIGHT = 1024, 576
-PAIR_CAPACITY = 1 << 20
-INNER_FRAMES = 12  # frames per dispatch (lax.scan)
+PAIR_CAPACITY = 1 << 21  # covers the full ~1.9M-pair scene, no dropping
+INNER_FRAMES = 24  # frames per dispatch (lax.scan) — amortizes tunnel RTT
 ITERS = 3  # dispatches
 
 
-def build(backend: str):
+def build(backend: str, n_gauss=N_GAUSS, width=WIDTH, height=HEIGHT,
+          capacity=PAIR_CAPACITY, grad_outputs=False):
     from dnsplatter_tpu.data.synthetic import make_gt_gaussians, ring_cameras
     from dnsplatter_tpu.ops.projection import project_gaussians
     from dnsplatter_tpu.ops.rasterize import RasterizeConfig, rasterize
 
     key = jax.random.PRNGKey(0)
-    params, alive = make_gt_gaussians(key, N_GAUSS, extent=1.5)
-    cam = ring_cameras(1, width=WIDTH, img_height=HEIGHT, focal=700.0)[0]
+    params, alive = make_gt_gaussians(key, n_gauss, extent=1.5)
+    cam = ring_cameras(1, width=width, img_height=height, focal=700.0)[0]
     cfg = RasterizeConfig(
-        width=WIDTH, height=HEIGHT, tile_size=16, chunk=128, tile_block=16,
-        pair_capacity=PAIR_CAPACITY, backend=backend,
+        width=width, height=height, tile_size=16, chunk=128, tile_block=16,
+        pair_capacity=capacity, backend=backend,
     )
     viewmat = cam.viewmat()
     fx, fy, cx, cy = (float(cam.fx), float(cam.fy), float(cam.cx),
                       float(cam.cy))
     opac = jax.nn.sigmoid(params.opacities)
     feats = jnp.concatenate(
-        [jnp.ones((N_GAUSS, 3)) * 0.5, params.normals], axis=-1
+        [jnp.ones((n_gauss, 3)) * 0.5, params.normals], axis=-1
     )  # rgb + normal channels; depth appended by the caller convention
 
+    def one_frame(means, seed):
+        def loss(means):
+            m = means + seed * 1e-9
+            proj = project_gaussians(m, params.quats, jnp.exp(params.scales),
+                                     viewmat, fx, fy, cx, cy, width, height,
+                                     opacities=opac)
+            allfeats = jnp.concatenate([feats, proj.depths[:, None]], -1)
+            img, a = rasterize(
+                proj.means2d, proj.conics, proj.depths, opac,
+                allfeats, proj.valid & (alive > 0.5), cfg,
+                radii=proj.radii_xy,
+            )
+            return jnp.sum(img) + jnp.sum(a), (img, a)
+        (val, aux), g = jax.value_and_grad(loss, has_aux=True)(means)
+        return g, aux
+
+    if grad_outputs:
+        @jax.jit
+        def full(means):
+            return one_frame(means, jnp.float32(0))
+        return full, (params.means,)
+
     @jax.jit
-    def step(seed, means, quats, scales, opac, feats, alive, viewmat):
+    def step(seed, means):
         # INNER_FRAMES full fwd+bwd renders per dispatch: the tunnel's
         # per-dispatch overhead would otherwise dominate the measurement.
         def one(carry, i):
-            def loss(means):
-                m = means + (seed + i.astype(jnp.float32)) * 1e-9
-                proj = project_gaussians(m, quats, scales, viewmat, fx, fy,
-                                         cx, cy, WIDTH, HEIGHT)
-                allfeats = jnp.concatenate(
-                    [feats, proj.depths[:, None]], -1
-                )
-                img, a = rasterize(
-                    proj.means2d, proj.conics, proj.depths, opac,
-                    allfeats, proj.valid & (alive > 0.5), cfg,
-                    radii=proj.radii,
-                )
-                return jnp.sum(img) + jnp.sum(a)
-
-            return carry + jax.grad(loss)(means).sum(), None
+            g, _ = one_frame(means, seed + i.astype(jnp.float32))
+            return carry + g.sum(), None
 
         out, _ = jax.lax.scan(
             one, jnp.zeros(()), jnp.arange(INNER_FRAMES)
         )
         return out
 
-    args = (params.means, params.quats, jnp.exp(params.scales), opac,
-            feats, alive, viewmat)
-    return step, args
+    return step, (params.means,)
+
+
+def parity_check() -> str:
+    """Small-config pallas vs xla forward+gradient allclose ON DEVICE."""
+    try:
+        results = {}
+        for backend in ("pallas", "xla"):
+            fn, args = build(backend, n_gauss=5000, width=256, height=256,
+                             capacity=1 << 17, grad_outputs=True)
+            g, (img, a) = fn(*args)
+            results[backend] = jax.tree.map(np.asarray, (g, img, a))
+        rel = 0.0
+        for p, x in zip(jax.tree.leaves(results["pallas"]),
+                        jax.tree.leaves(results["xla"])):
+            rel = max(rel, float(np.max(np.abs(p - x))
+                                 / (np.max(np.abs(x)) + 1e-8)))
+        # Gate at 5e-3: the two backends make identical compositing
+        # decisions up to f32 transcendental ordering (exp/log1p scan vs
+        # cumprod), so a handful of pixels flip their T<=1e-4 termination
+        # — a discrete, benign difference that perturbs grads at ~1e-3.
+        # Real regressions (e.g. bf16 matmul inputs) show up at >=1e-2.
+        return f"pass(rel={rel:.1e})" if rel < 5e-3 else f"FAIL(rel={rel:.1e})"
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        return "ERROR"
 
 
 def main() -> None:
-    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    on_tpu = jax.default_backend() == "tpu"
+    backend = "pallas" if on_tpu else "xla"
+    parity = parity_check() if on_tpu else "skipped(cpu)"
+
     try:
         step, args = build(backend)
         out = step(jnp.float32(0), *args)
         float(np.asarray(out))  # force compile + one run
     except Exception:
-        backend = "xla"
-        step, args = build(backend)
+        print("WARNING: pallas bench path failed; falling back to xla. "
+              "Traceback:", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+        backend = f"xla(fallback-from-{backend})"
+        step, args = build("xla")
         out = step(jnp.float32(0), *args)
         float(np.asarray(out))
 
@@ -120,6 +172,8 @@ def main() -> None:
                 "value": round(mpix_s, 3),
                 "unit": "Mpixels/s",
                 "vs_baseline": round(mpix_s / NOMINAL_GSPLAT_MPIX_S, 4),
+                "backend": backend,
+                "parity": parity,
             }
         )
     )

@@ -38,6 +38,7 @@ class Projected(NamedTuple):
     depths: jax.Array
     conics: jax.Array
     radii: jax.Array
+    radii_xy: jax.Array  # (N, 2) per-axis tight AABB extents of the ellipse
     compensations: jax.Array
     valid: jax.Array
 
@@ -65,6 +66,7 @@ def project_gaussians(
     near_plane: float = 0.01,
     far_plane: float = 1e10,
     radius_clip: float = 0.0,
+    opacities: jax.Array | None = None,
 ) -> Projected:
     """Project N world-space Gaussians into one camera (OpenCV viewmat).
 
@@ -76,6 +78,16 @@ def project_gaussians(
       * compensation = sqrt(det(cov2d - eps2d I) / det(cov2d));
       * radius = ceil(3 * sqrt(max eigenvalue)); cull radius<=radius_clip
         and centers whose bounding box misses the image entirely.
+
+    When `opacities` (post-sigmoid, (N,)) is given, the screen radius is
+    tightened LOSSLESSLY from 3 sigma to the exact support of
+    alpha >= 1/255: alpha = op * exp(-sigma) >= 1/255 iff
+    sigma <= log(255 * op), and the {sigma <= s} ellipse has max extent
+    sqrt(2 s lambda_max). Pixels between that radius and 3 sigma have
+    alpha < 1/255 and are skipped by the compositor anyway, so renders
+    are bit-identical while low-opacity Gaussians touch far fewer tiles
+    (gsplat uses the fixed 3-sigma bound; this is strictly tighter for
+    op < exp(4.5)/255 ~= 0.35, and capped at 3 sigma above).
     """
     rot_wc = viewmat[:3, :3]
     t_wc = viewmat[:3, 3]
@@ -122,7 +134,20 @@ def project_gaussians(
     mid = 0.5 * (a_b + c_b)
     disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
     vmax = mid + disc
-    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(vmax, 0.0)))
+    sigma_bound = 4.5  # (3 sigma)^2 / 2
+    if opacities is not None:
+        op = jax.lax.stop_gradient(opacities)
+        sigma_bound = jnp.minimum(
+            jnp.log(jnp.maximum(255.0 * op, 1e-12)), 4.5
+        )
+    sb = jnp.maximum(sigma_bound, 0.0)
+    radius = jnp.ceil(jnp.sqrt(2.0 * sb * jnp.maximum(vmax, 0.0)))
+    # Tight per-axis AABB of the {sigma <= bound} ellipse: its x/y extents
+    # are sqrt(2 s Sigma_xx/yy) — for anisotropic splats this bounds far
+    # fewer tiles than the max-eigenvalue circle, with identical renders
+    # (every pixel with alpha >= 1/255 stays inside the box).
+    rx = jnp.ceil(jnp.sqrt(2.0 * sb * jnp.maximum(a_b, 0.0)))
+    ry = jnp.ceil(jnp.sqrt(2.0 * sb * jnp.maximum(c_b, 0.0)))
 
     mean2d = jnp.stack(
         [fx * mean_c[..., 0] * rz + cx, fy * mean_c[..., 1] * rz + cy], axis=-1
@@ -131,19 +156,21 @@ def project_gaussians(
     inside_depth = (tz > near_plane) & (tz < far_plane)
     pos_det = det > 0.0
     on_image = (
-        (mean2d[..., 0] + radius > 0)
-        & (mean2d[..., 0] - radius < width)
-        & (mean2d[..., 1] + radius > 0)
-        & (mean2d[..., 1] - radius < height)
+        (mean2d[..., 0] + rx > 0)
+        & (mean2d[..., 0] - rx < width)
+        & (mean2d[..., 1] + ry > 0)
+        & (mean2d[..., 1] - ry < height)
     )
     valid = inside_depth & pos_det & (radius > radius_clip) & on_image
     radii = jnp.where(valid, radius, 0.0)
+    radii_xy = jnp.where(valid[:, None], jnp.stack([rx, ry], -1), 0.0)
 
     return Projected(
         means2d=mean2d,
         depths=tz,
         conics=conic,
         radii=radii,
+        radii_xy=radii_xy,
         compensations=compensations,
         valid=valid,
     )

@@ -6,20 +6,29 @@ reference at dn_splatter/dn_model.py:495-516, 564-575) — re-designed for the
 TPU execution model instead of translated:
 
   * No per-pixel thread divergence / early `break`: pixels are processed in
-    16x16 tiles as dense (P=tile^2, K=chunk) blocks. Transmittance is
-    computed with an exclusive cumprod along the chunk axis (VPU), and the
-    feature accumulation `W @ F` is a (P, K) @ (K, F) matmul (MXU).
-  * No dynamic shapes: the (tile, gaussian) intersection list is built with
-    a static `pair_capacity` via `jnp.repeat(..., total_repeat_length)`,
-    one stable sort by tile id, and `searchsorted` tile offsets. Overflow
-    drops the *deepest* pairs (gaussians are globally depth-sorted first),
-    which degrades gracefully.
+    16x16 tiles as dense (K=chunk, P=tile^2) blocks. Transmittance is
+    computed with triangular-matrix matmuls (MXU), and the feature
+    accumulation is a (K, F)^T @ (K, P) matmul.
+  * No dynamic shapes, and ONE sort builds the kernel-ready layout: the
+    (tile, gaussian) intersection list is emitted directly in the
+    chunk-aligned CSR layout by a single key sort. Per-tile pair counts
+    are known *before* expansion from a corner-trick 2D histogram
+    (O(N) scatter + 2D cumsum over the tile grid), so each tile's range
+    can be padded to a multiple of `chunk` by injecting dummy keys — no
+    post-sort re-alignment pass, no searchsorted, no gather of sorted
+    values: the sort key packs `tile * (N+1) + gauss`, so the sorted keys
+    THEMSELVES decode to the per-pair gaussian indices (within a tile,
+    gaussian index order IS front-to-back depth order, because gaussians
+    are globally depth-sorted before expansion).
+  * The per-pair payload and per-pair gradients live in pair-major
+    (C, 16) layouts: one row gather builds the payload (no transpose);
+    the Pallas kernels compute in a (K, P) orientation so geometry fields
+    broadcast from (K, 1) columns and feature accumulation contracts on
+    the MXU without any in-kernel transpose.
   * The backward pass is a hand-derived back-to-front replay (same math as
-    gsplat's CUDA backward): transmittance is re-materialized from the
-    saved per-pixel final transmittance T_final by dividing out (1-alpha),
-    and the per-pixel `last contributing index` saved in the forward pass
-    reconstructs the exact early-termination decisions. Per-Gaussian
-    gradients are scatter-added per chunk.
+    gsplat's CUDA backward); per-pair gradients are reduced per-Gaussian
+    with one segment-sum keyed by the decoded pair indices (dummy pairs
+    fall into an overflow bucket that is dropped).
   * `absgrad` (gsplat's absolute screen-space gradient used for
     densification, dn_model.py:506 `absgrad=True`) is exposed through a
     zero "sink" input whose VJP output is the absolute per-tile means2d
@@ -52,8 +61,8 @@ class RasterizeConfig(NamedTuple):
         tile_size: square pixel tile edge (16 matches the reference's
             gsplat call, dn_model.py:470-471; P = tile_size**2).
         chunk: Gaussians composited per block step (K). Lane-friendly
-            sizes (64/128) keep the (P, K) work dense on the VPU/MXU.
-        tile_block: tiles processed together per scan step (TB).
+            sizes (64/128) keep the (K, P) work dense on the VPU/MXU.
+        tile_block: tiles processed together per scan step (XLA backend).
         pair_capacity: static capacity C of the (tile, gaussian)
             intersection list. Pairs beyond capacity (deepest first) drop.
     """
@@ -88,19 +97,26 @@ class RasterizeConfig(NamedTuple):
 
     @property
     def pair_capacity_aligned(self) -> int:
-        """Capacity of the chunk-aligned pair layout (pallas backend):
-        per-tile ranges round up to the chunk, worst case +chunk per tile."""
-        return self.pair_capacity + self.n_tiles_padded * self.chunk
+        """Total slots of the chunk-aligned pair layout: every tile's
+        range rounds up to the chunk, worst case +(chunk-1) dummies/tile."""
+        return self.pair_capacity + self.n_tiles_padded * (self.chunk - 1)
 
 
 class _Binned(NamedTuple):
-    """Depth-sorted Gaussians + tile intersection structure (all static)."""
+    """Depth-sorted Gaussians + chunk-aligned tile intersection structure.
+
+    The pair list is ALREADY in the kernel-ready aligned CSR layout:
+    tile t's pairs occupy slots [starts[t], starts[t] + counts[t]) in
+    front-to-back depth order, and starts[t] is a multiple of `chunk`.
+    """
 
     order: jax.Array  # (N,) depth sort permutation: sorted[i] = orig[order[i]]
-    pair_gauss: jax.Array  # (C,) index into depth-sorted arrays per pair
-    pair_valid: jax.Array  # (C,) bool
-    tile_starts: jax.Array  # (T_padded + 1,) pair-range boundaries per tile
-    total_pairs: jax.Array  # () int32 — may exceed C (overflow diagnostic)
+    pair_gauss: jax.Array  # (C_al,) depth-sorted gaussian index; == N => dummy
+    pair_pos: jax.Array  # (C_al,) PRE-SORT pair position; == C => dead slot
+    starts: jax.Array  # (T_padded + 1,) chunk-aligned range starts per tile
+    counts: jax.Array  # (T_padded,) REAL per-tile pair counts
+    gauss_starts: jax.Array  # (N + 1,) per-Gaussian pre-sort pair ranges
+    total_pairs: jax.Array  # () int32 — raw total (overflow diagnostic)
 
 
 def _exclusive_cumprod(x: jax.Array, axis: int) -> jax.Array:
@@ -118,127 +134,162 @@ def bin_gaussians(
     radii: jax.Array,
     validf: jax.Array,
 ) -> _Binned:
-    """Global depth sort + tile-intersection pair list (gsplat isect_tiles).
+    """Global depth sort + chunk-aligned tile pair list in ONE sort.
 
-    Static-shape construction: per-Gaussian tile bbox -> counts -> exclusive
-    cumsum offsets -> `repeat(total_repeat_length=C)` expansion -> stable
-    sort by tile id (stability preserves depth order within a tile because
-    Gaussians were depth-sorted first) -> searchsorted per-tile ranges.
+    Stages (all static shapes):
+      1. depth argsort; per-Gaussian tile bbox + pair counts; Gaussians
+         whose pair range does not fit `pair_capacity` drop whole
+         (deepest first — graceful degradation under overflow).
+      2. per-TILE pair counts WITHOUT expansion: +1/-1 corner scatter
+         into a (tiles_y+1, tiles_x+1) grid, 2D cumulative sum (the
+         classic summed-area trick) — this is what lets us compute the
+         aligned layout before sorting.
+      3. expansion to per-pair keys `tile * (N+1) + gauss`; per-tile
+         alignment gaps are filled by dummy keys `tile * (N+1) + N`;
+         one flat int32 sort then yields the aligned layout directly and
+         `sorted_key % (N+1)` decodes the per-pair gaussian index.
     """
     n = means2d.shape[0]
     ts = cfg.tile_size
+    k = cfg.chunk
+    c = cfg.pair_capacity
+    t_pad = cfg.n_tiles_padded
     valid = validf > 0.5
 
     order = jnp.argsort(jnp.where(valid, depths, jnp.inf))
     m2d_s = means2d[order]
-    rad_s = radii[order]
+    rad_s = radii[order]  # (N, 2) per-axis extents (or broadcast scalar)
+    if rad_s.ndim == 1:
+        rad_s = rad_s[:, None] * jnp.ones((1, 2), rad_s.dtype)
     valid_s = valid[order]
 
     x0 = jnp.clip(
-        jnp.floor((m2d_s[:, 0] - rad_s) / ts).astype(jnp.int32), 0, cfg.tiles_x
+        jnp.floor((m2d_s[:, 0] - rad_s[:, 0]) / ts).astype(jnp.int32),
+        0, cfg.tiles_x
     )
     x1 = jnp.clip(
-        jnp.floor((m2d_s[:, 0] + rad_s) / ts).astype(jnp.int32) + 1, 0, cfg.tiles_x
+        jnp.floor((m2d_s[:, 0] + rad_s[:, 0]) / ts).astype(jnp.int32) + 1,
+        0, cfg.tiles_x
     )
     y0 = jnp.clip(
-        jnp.floor((m2d_s[:, 1] - rad_s) / ts).astype(jnp.int32), 0, cfg.tiles_y
+        jnp.floor((m2d_s[:, 1] - rad_s[:, 1]) / ts).astype(jnp.int32),
+        0, cfg.tiles_y
     )
     y1 = jnp.clip(
-        jnp.floor((m2d_s[:, 1] + rad_s) / ts).astype(jnp.int32) + 1, 0, cfg.tiles_y
+        jnp.floor((m2d_s[:, 1] + rad_s[:, 1]) / ts).astype(jnp.int32) + 1,
+        0, cfg.tiles_y
     )
     w = jnp.maximum(x1 - x0, 0)
     h = jnp.maximum(y1 - y0, 0)
-    counts = jnp.where(valid_s, w * h, 0).astype(jnp.int32)
-    offsets = jnp.cumsum(counts) - counts
-    total = offsets[-1] + counts[-1] if n > 0 else jnp.zeros((), jnp.int32)
+    counts_g = jnp.where(valid_s, w * h, 0).astype(jnp.int32)
+    offs_raw = jnp.cumsum(counts_g) - counts_g
+    total_raw = offs_raw[-1] + counts_g[-1] if n > 0 else jnp.zeros((), jnp.int32)
+    # Overflow: drop whole Gaussians whose range does not fit, so the
+    # histogram (stage 2) stays exactly consistent with the emitted pairs.
+    fits = (offs_raw + counts_g) <= c
+    counts_g = jnp.where(fits, counts_g, 0)
+    offsets = jnp.cumsum(counts_g) - counts_g
+    total = offsets[-1] + counts_g[-1] if n > 0 else jnp.zeros((), jnp.int32)
 
-    c = cfg.pair_capacity
-    pair_gauss = jnp.repeat(
-        jnp.arange(n, dtype=jnp.int32), counts, total_repeat_length=c
+    # --- stage 2: per-tile counts via corner scatter + 2D cumsum ---
+    gx = cfg.tiles_x + 1
+    gy = cfg.tiles_y + 1
+    keep = counts_g > 0
+    corner_idx = jnp.concatenate(
+        [y0 * gx + x0, y0 * gx + x1, y1 * gx + x0, y1 * gx + x1]
     )
+    one = jnp.where(keep, 1, 0).astype(jnp.int32)
+    corner_val = jnp.concatenate([one, -one, -one, one])
+    grid = jnp.zeros((gy * gx,), jnp.int32).at[corner_idx].add(corner_val)
+    counts2d = jnp.cumsum(jnp.cumsum(grid.reshape(gy, gx), axis=0), axis=1)
+    tile_counts = counts2d[: cfg.tiles_y, : cfg.tiles_x].reshape(-1)
+    if t_pad > cfg.n_tiles:
+        tile_counts = jnp.concatenate(
+            [tile_counts, jnp.zeros((t_pad - cfg.n_tiles,), jnp.int32)]
+        )
+    padded = -(-tile_counts // k) * k
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
+    )
+
+    # --- stage 3: expansion + dummy injection + one sort ---
+    # Per-pair fields [gauss, offset, bbox w, packed x0/y0] materialize as
+    # piecewise-constant sequences over the pair axis: scatter each
+    # Gaussian's VALUE DELTA at its range start, then cumulative-sum.
+    # One (N, 4) scatter + one (C, 4) cumsum — TPU gathers at C scale run
+    # ~4 ms/M rows, so the old repeat + table-gather formulation cost
+    # ~40 ms/frame at 2M pairs; this runs in a few ms. Duplicate range
+    # starts (zero-count Gaussians) telescope correctly, and fully
+    # dropped tails scatter out of bounds (mode="drop").
     pos = jnp.arange(c, dtype=jnp.int32)
-    pair_valid = pos < total
-    # One (N, 4) row gather instead of four (C,) gathers (TPU gathers are
-    # the costly part of binning).
-    gtab = jnp.stack([offsets, jnp.maximum(w, 1), x0, y0], axis=-1)
-    rows = gtab[pair_gauss]
-    rank = pos - rows[:, 0]
-    wg = rows[:, 1]
-    tile_x = rows[:, 2] + rank % wg
-    tile_y = rows[:, 3] + rank // wg
-    tile_id = tile_y * cfg.tiles_x + tile_x
-    # Sentinel beyond every real AND padded tile so searchsorted boundaries
-    # never attribute invalid pairs to a processed tile.
-    tile_id = jnp.where(pair_valid, tile_id, cfg.n_tiles_padded)
-
-    # Sort pairs by tile, keeping within-tile depth order (pairs are
-    # generated in depth order). When tile ids and positions fit in an
-    # int31 packed key, a single unstable int32 sort beats the stable
-    # (key, iota) argsort; otherwise fall back to stable argsort.
-    pos_bits = max(c - 1, 1).bit_length()
-    if (cfg.n_tiles_padded + 1) << pos_bits <= (1 << 31):
-        packed = (tile_id << pos_bits) | pos
-        packed_sorted = jnp.sort(packed)
-        perm = packed_sorted & ((1 << pos_bits) - 1)
-        tile_id_sorted = packed_sorted >> pos_bits
-    else:
-        perm = jnp.argsort(tile_id, stable=True)
-        tile_id_sorted = tile_id[perm]
-    pair_gauss = pair_gauss[perm]
-    pair_valid = pair_valid[perm]
-
-    boundaries = jnp.arange(cfg.n_tiles_padded + 1, dtype=jnp.int32)
-    tile_starts = jnp.searchsorted(tile_id_sorted, boundaries, side="left").astype(
-        jnp.int32
+    live = pos < total
+    xy = x0 * 4096 + y0
+    vals = jnp.stack(
+        [jnp.arange(n, dtype=jnp.int32), offsets, jnp.maximum(w, 1), xy],
+        axis=-1,
     )
+    diffs = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]], axis=0)
+    table = jnp.zeros((c, 4), jnp.int32).at[offsets].add(diffs, mode="drop")
+    acc = jnp.cumsum(table, axis=0)
+    pair_gauss0 = acc[:, 0]
+    rank = pos - acc[:, 1]
+    wg = jnp.maximum(acc[:, 2], 1)
+    x0p = acc[:, 3] // 4096
+    y0p = acc[:, 3] % 4096
+    tile_id = x0p + rank % wg + (y0p + rank // wg) * cfg.tiles_x
+    tile_id = jnp.clip(tile_id, 0, t_pad)  # dead-lane overflow insurance
+
+    big = n + 1
+    d = t_pad * (k - 1)
+    c_al = cfg.pair_capacity_aligned
+    assert c_al == c + d
+
+    n_dummy = padded - tile_counts  # (T_pad,) in [0, k-1]
+    # `repeat` pads with its LAST element: append a sentinel absorb entry
+    # so unused dummy slots get the sentinel tile, not a real one.
+    dummy_tiles = jnp.repeat(
+        jnp.concatenate([jnp.arange(t_pad, dtype=jnp.int32),
+                         jnp.full((1,), t_pad, jnp.int32)]),
+        jnp.concatenate([n_dummy,
+                         jnp.maximum(d - jnp.sum(n_dummy), 0)[None]]),
+        total_repeat_length=d,
+    ) if d > 0 else jnp.zeros((0,), jnp.int32)
+
+    # The sort also carries each pair's PRE-SORT position (dead slots get
+    # the sentinel C): the backward pass re-orders per-pair gradients back
+    # into pre-sort order, where every Gaussian's pairs are contiguous —
+    # that turns the gradient reduction into a segmented sum over
+    # contiguous ranges instead of a 2M-row scatter-add.
+    qv = jnp.concatenate([
+        jnp.where(live, pos, c), jnp.full((d,), c, jnp.int32)
+    ])
+    if (t_pad + 1) * big <= jnp.iinfo(jnp.int32).max:
+        sentinel = jnp.int32(t_pad * big + n)
+        key_real = jnp.where(live, tile_id * big + pair_gauss0, sentinel)
+        key_dummy = jnp.minimum(dummy_tiles * big + n, sentinel)
+        keys, pair_pos = jax.lax.sort(
+            (jnp.concatenate([key_real, key_dummy]), qv), num_keys=1
+        )
+        pair_gauss = (keys % big).astype(jnp.int32)
+    else:
+        # Large-N fallback: lexicographic 2-key sort (tile, gauss) — the
+        # packed key would overflow int32 and x64 is disabled.
+        tile_key = jnp.where(live, tile_id, t_pad)
+        gauss_key = jnp.where(live, pair_gauss0, n)
+        tk = jnp.concatenate([tile_key, dummy_tiles])
+        gk = jnp.concatenate([gauss_key, jnp.full((d,), n, jnp.int32)])
+        _, pair_gauss, pair_pos = jax.lax.sort((tk, gk, qv), num_keys=2)
+
+    gauss_starts = jnp.concatenate([offsets, total[None]]).astype(jnp.int32)
     return _Binned(
         order=order,
         pair_gauss=pair_gauss,
-        pair_valid=pair_valid,
-        tile_starts=tile_starts,
-        total_pairs=total,
+        pair_pos=pair_pos,
+        starts=starts,
+        counts=tile_counts,
+        gauss_starts=gauss_starts,
+        total_pairs=total_raw,
     )
-
-
-class _AlignedPairs(NamedTuple):
-    """Chunk-aligned pair layout for the Pallas kernels: every tile's pair
-    range starts at a multiple of `chunk`, so HBM chunk DMAs are provably
-    128-lane aligned (a Mosaic requirement for dynamic lane slices)."""
-
-    pair_gauss: jax.Array  # (C_pad,) sentinel-padded
-    pair_valid: jax.Array  # (C_pad,) bool
-    starts: jax.Array  # (T_padded + 1,) aligned offsets
-    counts: jax.Array  # (T_padded,) REAL per-tile pair counts
-
-
-def align_pairs(cfg: RasterizeConfig, binned: _Binned) -> _AlignedPairs:
-    """Gather formulation (no scatters — TPU scatters serialize): for each
-    ALIGNED output position q, locate its tile via searchsorted over the
-    aligned boundaries and read the source pair from the compact layout."""
-    k = cfg.chunk
-    c = cfg.pair_capacity
-    c_pad = cfg.pair_capacity_aligned
-    counts = binned.tile_starts[1:] - binned.tile_starts[:-1]  # (T_padded,)
-    padded = -(-counts // k) * k
-    starts_al = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
-    )
-    q = jnp.arange(c_pad, dtype=jnp.int32)
-    # tile of each aligned position via repeat (searchsorted on TPU is a
-    # per-query binary-search loop — ~55 ms for 640k queries; repeat is
-    # a fraction of that). Tail positions get the last tile and are
-    # masked by `ok` below.
-    tile_of = jnp.repeat(
-        jnp.arange(cfg.n_tiles_padded, dtype=jnp.int32), padded,
-        total_repeat_length=c_pad,
-    )
-    r = q - starts_al[tile_of]
-    src = jnp.minimum(binned.tile_starts[tile_of] + r, c - 1)
-    ok = (r < counts[tile_of]) & (q < starts_al[-1])
-    pg = jnp.where(ok, binned.pair_gauss[src], 0)
-    pv = ok & binned.pair_valid[src]
-    return _AlignedPairs(pair_gauss=pg, pair_valid=pv, starts=starts_al,
-                         counts=counts)
 
 
 def _tile_pixel_coords(cfg: RasterizeConfig, tile_ids: jax.Array) -> jax.Array:
@@ -255,17 +306,18 @@ def _tile_pixel_coords(cfg: RasterizeConfig, tile_ids: jax.Array) -> jax.Array:
 
 
 def _gather_chunk(binned, sorted_arrays, starts, ends, chunk_idx, k):
-    """Gather one K-chunk of pair data for a block of tiles.
+    """Gather one K-chunk of pair data for a block of tiles (XLA backend).
 
     Returns per-array (TB, K, ...) gathers plus the in-tile mask and the
     global in-tile pair position j (TB, K).
     """
     tb = starts.shape[0]
+    n = sorted_arrays[0].shape[0]
     j = chunk_idx * k + jnp.arange(k, dtype=jnp.int32)[None, :]  # (1, K) in-tile
     idx = starts[:, None] + j  # (TB, K) global pair index
     in_range = idx < ends[:, None]
     idx = jnp.minimum(idx, binned.pair_gauss.shape[0] - 1)
-    g = binned.pair_gauss[idx]  # (TB, K) depth-sorted gaussian index
+    g = jnp.minimum(binned.pair_gauss[idx], n - 1)  # clip dummy index N
     gathered = [a[g] for a in sorted_arrays]
     return gathered, in_range, jnp.broadcast_to(j, (tb, k)), g
 
@@ -284,10 +336,10 @@ def _chunk_alpha(pix, g_m2d, g_con, g_opac, mask):
 
 
 def _rasterize_forward(cfg: RasterizeConfig, binned: _Binned, sorted_data):
-    """Tiled forward compositing.
+    """Tiled forward compositing (XLA backend).
 
     Returns padded (T_padded, P, F) accumulated features, (T_padded, P)
-    T_final, done flag, and int32 last-contributor in-tile index (-1 none).
+    T_final, and int32 last-contributor in-tile index (-1 none).
     """
     m2d_s, con_s, opac_s, feat_s = sorted_data
     k = cfg.chunk
@@ -297,8 +349,8 @@ def _rasterize_forward(cfg: RasterizeConfig, binned: _Binned, sorted_data):
 
     def block_fn(_, block_idx):
         tile_ids = block_idx * tb + jnp.arange(tb, dtype=jnp.int32)
-        starts = binned.tile_starts[tile_ids]
-        ends = binned.tile_starts[tile_ids + 1]
+        starts = binned.starts[tile_ids]
+        ends = starts + binned.counts[tile_ids]
         pix = _tile_pixel_coords(cfg, tile_ids)  # (TB, P, 2)
         n_chunks = jnp.max(-(-(ends - starts) // k))
 
@@ -320,7 +372,8 @@ def _rasterize_forward(cfg: RasterizeConfig, binned: _Binned, sorted_data):
             accept = hit & ~done[:, :, None] & ~term_before & ~would_term
             wgt = jnp.where(accept, alpha * t_prev, 0.0)  # (TB, P, K)
             out = out + jnp.einsum(
-                "tpk,tkf->tpf", wgt, gf, preferred_element_type=jnp.float32
+                "tpk,tkf->tpf", wgt, gf, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # no bf16 MXU inputs
             )
             t_run = t_run * jnp.prod(
                 1.0 - jnp.where(accept, alpha, 0.0), axis=2
@@ -427,28 +480,26 @@ def _raster_fwd_pallas(cfg, binned, sorted_data, n):
     m2d_s, con_s, opac_s, feat_s = sorted_data
     f = feat_s.shape[-1]
     assert f <= rp.MAX_FEATS
-    aligned = align_pairs(cfg, binned)
-    # Single (N, 16) field matrix -> ONE row gather per pair -> transpose.
-    # (Per-tile ranges only cover valid pairs, so no opacity masking is
-    # needed here; alignment gaps are masked by the kernel's count check.)
-    n = m2d_s.shape[0]
+    # ONE (N+1, 16) row gather then a field-major transpose: Mosaic's
+    # VMEM/HBM memrefs are 128-lane tiled, so the per-chunk DMA must
+    # slice 128 LANES — the pair axis has to be minor. Row N of the field
+    # table is zeros, the landing slot for dummy/alignment pairs.
     fields = jnp.concatenate(
         [m2d_s, con_s, opac_s[:, None], feat_s,
          jnp.zeros((n, rp.PW - 6 - f), jnp.float32)],
         axis=-1,
     )
-    payload = jnp.pad(
-        fields[aligned.pair_gauss].T, ((0, 0), (0, cfg.chunk))
-    )
+    fields = jnp.concatenate([fields, jnp.zeros((1, rp.PW), jnp.float32)])
+    payload = fields[binned.pair_gauss].T  # (PW, C_al)
     out_t, tfin_t, last_t = rp.forward_tiles(
-        payload, aligned.starts, aligned.counts, cfg.n_tiles_padded, f,
+        payload, binned.starts, binned.counts, cfg.n_tiles_padded, f,
         cfg.tile_size, cfg.tiles_x, cfg.chunk,
     )
     image = _tiles_to_image(cfg, jnp.transpose(out_t, (0, 2, 1)))
     alpha = _tiles_to_image(
         cfg, jnp.transpose(1.0 - tfin_t, (0, 2, 1))
     )
-    residuals = (binned, aligned, payload, tfin_t, last_t, n)
+    residuals = (binned, payload, tfin_t, last_t, n)
     return (image, alpha), residuals
 
 
@@ -473,8 +524,8 @@ def _raster_bwd(cfg, residuals, cotangents):
         gm2d, gcon, gop, gfeat, gabs = carry
         block_idx, g_out, g_alpha_pix, t_fin, last_pix = xs
         tile_ids = block_idx * tb + jnp.arange(tb, dtype=jnp.int32)
-        starts = binned.tile_starts[tile_ids]
-        ends = binned.tile_starts[tile_ids + 1]
+        starts = binned.starts[tile_ids]
+        ends = starts + binned.counts[tile_ids]
         pix = _tile_pixel_coords(cfg, tile_ids)
         n_chunks = jnp.max(-(-(ends - starts) // k))
 
@@ -501,12 +552,14 @@ def _raster_bwd(cfg, residuals, cotangents):
 
             # Feature gradient: dL/df_k = sum_p w_pk g_pc.
             gfeat_chunk = jnp.einsum(
-                "tpk,tpf->tkf", wgt, g_out, preferred_element_type=jnp.float32
+                "tpk,tpf->tkf", wgt, g_out, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
             # fg_pk = sum_c f_kc g_pc ; Q_pk = sum_{j>k} w_pj fg_pj + carry.
             fg = jnp.einsum(
-                "tpf,tkf->tpk", g_out, gf, preferred_element_type=jnp.float32
+                "tpf,tkf->tpk", g_out, gf, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             wfg = wgt * fg
             q_suf = jnp.flip(jnp.cumsum(jnp.flip(wfg, axis=2), axis=2), axis=2) - wfg
@@ -598,7 +651,7 @@ def _raster_bwd(cfg, residuals, cotangents):
         unsort(gfeat_s),
         unsort(gabs_s),  # absgrad through the sink input
         jnp.zeros((n,), jnp.float32),  # depths: sort order not differentiated
-        jnp.zeros((n,), jnp.float32),  # radii
+        jnp.zeros((n, 2), jnp.float32),  # radii
         jnp.zeros((n,), jnp.float32),  # validf
     )
 
@@ -607,26 +660,33 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
     from dnsplatter_tpu.ops import rasterize_pallas as rp
 
     g_image, g_alpha = cotangents
-    binned, aligned, payload, tfin_t, last_t, n = residuals
+    binned, payload, tfin_t, last_t, n = residuals
     f = g_image.shape[-1]  # feature count == composited channel count
 
     g_out_t = jnp.transpose(_image_to_tiles(cfg, g_image), (0, 2, 1))
     g_alpha_t = jnp.transpose(_image_to_tiles(cfg, g_alpha), (0, 2, 1))
 
     grads = rp.backward_tiles(
-        payload, aligned.starts, aligned.counts, g_out_t, g_alpha_t,
+        payload, binned.starts, binned.counts, g_out_t, g_alpha_t,
         tfin_t, last_t,
         cfg.n_tiles_padded, f, cfg.tile_size, cfg.tiles_x, cfg.chunk,
+    )  # (GW, C_al) field-major
+    # Per-Gaussian reduction: re-order per-pair gradients into PRE-SORT
+    # order (inv scatter + one row gather) where every Gaussian's pairs
+    # are contiguous, then sum the contiguous ranges with the Pallas
+    # segment-reduction kernel. Replaces a 2M-row XLA segment-sum
+    # (~40 ms/frame). Dead pre-sort slots (q >= total) default to slot 0
+    # through the zero-init inv, but no Gaussian range covers them.
+    c = cfg.pair_capacity
+    c_al = grads.shape[1]
+    inv = jnp.zeros((c,), jnp.int32).at[binned.pair_pos].set(
+        jnp.arange(c_al, dtype=jnp.int32), mode="drop"
     )
-    c = cfg.pair_capacity_aligned
-    # Columns of pairs never touched by any tile program hold uninitialized
-    # memory — select, don't multiply (0 * garbage can be NaN).
-    vals = jnp.where(
-        aligned.pair_valid[:, None], grads[:, :c].T, 0.0
-    )  # (C_pad, GW)
-    per_sorted = jax.ops.segment_sum(
-        vals, aligned.pair_gauss, num_segments=n
-    )  # (N, GW)
+    presort = grads.T[inv].T  # (GW, C) pre-sort pair order
+    presort = jnp.pad(presort, ((0, 0), (0, 512)))  # reduce-kernel overrun
+    per_sorted = rp.reduce_segments(
+        presort, binned.gauss_starts, n
+    )[:, :n].T  # (N, GW)
 
     order = binned.order
 
@@ -640,7 +700,7 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
         unsort(per_sorted[:, 6:6 + f]),
         unsort(per_sorted[:, rp.GW - 2:rp.GW]),
         jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n, 2), jnp.float32),
         jnp.zeros((n,), jnp.float32),
     )
 
@@ -674,6 +734,8 @@ def rasterize(
         (image (H, W, F), alpha (H, W, 1)).
     """
     validf = valid.astype(jnp.float32)
+    if radii is not None and radii.ndim == 1:
+        radii = jnp.stack([radii, radii], -1)
     if radii is None:
         # conic = inv(cov2d): eigenvalues of cov2d from conic determinant.
         a, b, c = conics[:, 0], conics[:, 1], conics[:, 2]
@@ -682,7 +744,8 @@ def rasterize(
         cc = a / det_inv
         mid = 0.5 * (ca + cc)
         disc = jnp.sqrt(jnp.maximum(mid * mid - (ca * cc - (b / det_inv) ** 2), 0.0))
-        radii = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(mid + disc, 0.0)))
+        r = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(mid + disc, 0.0)))
+        radii = jnp.stack([r, r], -1)
     if absgrad_sink is None:
         absgrad_sink = jnp.zeros_like(means2d)
     return _rasterize_core(

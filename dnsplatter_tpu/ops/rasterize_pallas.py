@@ -176,7 +176,30 @@ def _make_fwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
             jnp.zeros((p, 1), jnp.float32),
             jnp.full((p, 1), -1, jnp.int32),
         )
-        t_run, out, done, last = jax.lax.fori_loop(0, nchunks, body, init)
+
+        # Early termination: once every pixel of the tile has saturated
+        # (T <= 1e-4), the remaining chunks contribute nothing — skip
+        # them. High-opacity scenes saturate after a handful of splats,
+        # so this cuts most of the chunk sweep (the CUDA rasterizer's
+        # per-pixel `break`, reconstructed at tile granularity).
+        def cond(state):
+            ci, (t_run, out, done, last) = state
+            return (ci < nchunks) & (jnp.min(done) <= 0.0)
+
+        def wbody(state):
+            ci, carry = state
+            return ci + 1, body(ci, carry)
+
+        ci_final, (t_run, out, done, last) = jax.lax.while_loop(
+            cond, wbody, (jnp.zeros((), jnp.int32), init)
+        )
+
+        # Early exit leaves the last prefetch (chunk ci_final) in flight;
+        # drain its semaphore or the next program's wait fires early.
+        @pl.when((ci_final < nchunks) & (ci_final > 0))
+        def _():
+            dma(ci_final % 2, ci_final).wait()
+
         out_ref[0] = out
         tfin_ref[0] = t_run.reshape(1, p)
         last_ref[0] = last.reshape(1, p)
@@ -200,7 +223,7 @@ def forward_tiles(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, n_feats, p), lambda t, s1, s2: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -224,6 +247,111 @@ def forward_tiles(
         ],
         interpret=_interpret(),
     )(tile_starts, tile_counts, payload)
+
+
+def _make_reduce_kernel(gw: int, chunk: int, blk: int):
+    def kernel(starts_sref, grads_hbm, s_ref, e_ref, out_ref, g_vmem, sems):
+        b = pl.program_id(0)
+        g0 = b * blk
+        l0 = pl.multiple_of((starts_sref[g0] // chunk) * chunk, chunk)
+        l1 = starts_sref[g0 + blk]  # end of the block's last segment
+        nch = pl.cdiv(jnp.maximum(l1 - l0, 0), chunk)
+
+        s_row = s_ref[0]  # (1, BLK) segment starts
+        e_row = e_ref[0]  # (1, BLK) segment ends
+        lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+        def dma(slot, j):
+            return pltpu.make_async_copy(
+                grads_hbm.at[:, pl.ds(l0 + j * chunk, chunk)],
+                g_vmem.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(nch > 0)
+        def _():
+            dma(0, 0).start()
+
+        def body(j, acc):
+            slot = j % 2
+
+            @pl.when(j + 1 < nch)
+            def _():
+                dma((j + 1) % 2, j + 1).start()
+
+            dma(slot, j).wait()
+            g = g_vmem[slot]  # (GW, CH)
+            p = l0 + j * chunk + lane  # (CH, 1)
+            onehot = ((p >= s_row) & (p < e_row)).astype(jnp.float32)
+            return acc + jnp.dot(
+                g, onehot, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        acc = jax.lax.fori_loop(
+            0, nch, body, jnp.zeros((gw, blk), jnp.float32)
+        )
+        out_ref[0] = acc
+
+    return kernel
+
+
+def reduce_segments(
+    grads: jax.Array,  # (GW, C) field-major, PRE-SORT pair order
+    gauss_starts: jax.Array,  # (N + 1,) contiguous per-Gaussian ranges
+    n: int,
+    chunk: int = 512,
+    blk: int = 128,
+) -> jax.Array:
+    """Per-Gaussian sums over contiguous pair ranges: out[:, g] =
+    sum(grads[:, starts[g]:starts[g+1]]).
+
+    The replacement for the 2M-row XLA segment-sum (~40 ms/frame at 2M
+    pairs): each program owns 128 Gaussians, streams their combined lane
+    range in 512-wide chunks, and contracts against an on-the-fly
+    range-membership onehot on the MXU — exact per-segment summation
+    (no prefix-sum cancellation). Returns (GW, N_pad); slice [:, :n].
+
+    Requires grads to extend >= `chunk` lanes past starts[-1] (the
+    aligned pair buffer's dummy tail guarantees this).
+    """
+    gw = grads.shape[0]
+    n_pad = -(-n // blk) * blk
+    starts_p = jnp.concatenate([
+        gauss_starts,
+        jnp.full((n_pad + 1 - gauss_starts.shape[0],), gauss_starts[-1],
+                 jnp.int32),
+    ])
+    s_blocks = starts_p[:n_pad].reshape(-1, 1, blk)
+    e_blocks = starts_p[1:n_pad + 1].reshape(-1, 1, blk)
+    kernel = _make_reduce_kernel(gw, chunk, blk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pad // blk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # grads
+            pl.BlockSpec((1, 1, blk), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, blk), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, gw, blk), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, gw, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_pad // blk, gw, blk),
+                                        jnp.float32)],
+        interpret=_interpret(),
+    )(starts_p, grads, s_blocks, e_blocks)
+    return jnp.moveaxis(out, 1, 0).reshape(gw, n_pad)
 
 
 def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
@@ -263,16 +391,35 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
                 sems.at[slot],
             )
 
-        @pl.when(nchunks > 0)
+        # The replay only needs chunks up to the deepest contributor
+        # recorded by the forward pass: chunks past max(last) have
+        # alpha_eff == 0 everywhere (they neither move t_back/sacc nor
+        # produce gradients) — zero-fill their slabs and skip the math.
+        nch_eff = jnp.maximum((jnp.max(last) + k) // k, 0)
+
+        def zero_fill(j, _):
+            grad_vmem[...] = jnp.zeros((GW, k), jnp.float32)
+            copy = pltpu.make_async_copy(
+                grad_vmem,
+                grad_hbm.at[:, pl.ds(start + j * k, k)],
+                gsem,
+            )
+            copy.start()
+            copy.wait()
+            return 0
+
+        jax.lax.fori_loop(nch_eff, nchunks, zero_fill, 0)
+
+        @pl.when(nch_eff > 0)
         def _():
-            dma_in(0, nchunks - 1).start()
+            dma_in(0, nch_eff - 1).start()
 
         def body(i, carry):
             t_back, sacc = carry
-            ci = nchunks - 1 - i
+            ci = nch_eff - 1 - i
             slot = i % 2
 
-            @pl.when(i + 1 < nchunks)
+            @pl.when(i + 1 < nch_eff)
             def _():
                 dma_in((i + 1) % 2, ci - 1).start()
 
@@ -352,7 +499,7 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
             return t_back, sacc
 
         init = (t_fin_c, jnp.zeros((p, 1), jnp.float32))
-        jax.lax.fori_loop(0, nchunks, body, init)
+        jax.lax.fori_loop(0, nch_eff, body, init)
 
     return kernel
 
@@ -379,7 +526,7 @@ def backward_tiles(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # payload
+            pl.BlockSpec(memory_space=pl.ANY),  # payload
             pl.BlockSpec((1, n_feats, p), lambda t, s1, s2: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, p), lambda t, s1, s2: (t, 0, 0),
@@ -389,7 +536,7 @@ def backward_tiles(
             pl.BlockSpec((1, 1, p), lambda t, s1, s2: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, PW, chunk), jnp.float32),
             pltpu.VMEM((GW, chunk), jnp.float32),

@@ -70,8 +70,10 @@ def rasterize_pixels_ref(
     opacities = jnp.where(valid[order], opacities[order], 0.0)
     features = features[order]
     if radii is None:
-        radii_s = jnp.full((n,), jnp.inf, means2d.dtype)
+        radii_s = jnp.full((n, 2), jnp.inf, means2d.dtype)
     else:
+        if radii.ndim == 1:
+            radii = jnp.stack([radii, radii], -1)
         radii_s = radii[order]
 
     pix = pixel_coords(width, height).reshape(hw, 2)
@@ -86,7 +88,7 @@ def rasterize_pixels_ref(
             + conic[1] * d[:, 0] * d[:, 1]
         )
         alpha = jnp.minimum(MAX_ALPHA, opac * jnp.exp(-sigma))
-        tile_lo = jnp.floor((mean - radius) / tile_size)
+        tile_lo = jnp.floor((mean - radius) / tile_size)  # (2,) per-axis
         tile_hi = jnp.floor((mean + radius) / tile_size)
         in_fp = jnp.all((pix_tile >= tile_lo) & (pix_tile <= tile_hi), axis=-1)
         hit = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD) & in_fp

@@ -73,6 +73,7 @@ def render(
         background = jnp.zeros((3,), jnp.float32)
 
     viewmat = camera.viewmat()
+    opac_raw = jax.nn.sigmoid(params.opacities)
     proj = project_gaussians(
         params.means,
         params.quats,
@@ -86,6 +87,11 @@ def render(
         camera.height,
         near_plane=near_plane,
         far_plane=far_plane,
+        # Lossless opacity-aware radius: fewer tile pairs for dim
+        # Gaussians, identical render (see project_gaussians docstring).
+        # Antialiased compensation only shrinks opacity, so the plain
+        # sigmoid bound remains valid there too.
+        opacities=opac_raw,
     )
     valid = proj.valid & (alive > 0.5)
     if crop_box is not None:
@@ -97,7 +103,7 @@ def render(
         )
         valid = valid & inside
 
-    opac = jax.nn.sigmoid(params.opacities)
+    opac = opac_raw
     if rasterize_mode == "antialiased":
         opac = opac * proj.compensations
 
@@ -127,7 +133,7 @@ def render(
         valid,
         raster_cfg,
         absgrad_sink=absgrad_sink,
-        radii=proj.radii,
+        radii=proj.radii_xy,
     )
 
     rgb_acc = img[..., 0:3]

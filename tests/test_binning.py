@@ -1,0 +1,135 @@
+"""Direct invariants of the single-sort aligned binning + reduction."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnsplatter_tpu.ops.rasterize import RasterizeConfig, bin_gaussians
+from dnsplatter_tpu.ops.rasterize_pallas import reduce_segments
+
+
+def _scene(n=300, w=128, h=96, seed=0, aniso=False):
+    rng = np.random.default_rng(seed)
+    m2d = rng.uniform(-10, [w + 10, h + 10], (n, 2)).astype(np.float32)
+    depths = rng.uniform(0.5, 5.0, n).astype(np.float32)
+    if aniso:
+        radii = rng.uniform(1, 25, (n, 2)).astype(np.float32)
+    else:
+        radii = rng.uniform(1, 25, n).astype(np.float32)
+    valid = (rng.uniform(size=n) > 0.1).astype(np.float32)
+    return m2d, depths, radii, valid
+
+
+def _brute_pairs(cfg, m2d, depths, radii, valid):
+    """(tile, gauss-depth-rank) pair set + per-gaussian pair counts in
+    depth-sorted order, straight from the definitions."""
+    n = len(m2d)
+    order = np.argsort(np.where(valid > 0.5, depths, np.inf),
+                       kind="stable")
+    rad = radii if radii.ndim == 2 else np.stack([radii, radii], -1)
+    pairs = set()
+    counts = np.zeros(n, np.int64)
+    for rank, gi in enumerate(order):
+        if valid[gi] <= 0.5:
+            continue
+        x0 = int(np.clip(np.floor((m2d[gi, 0] - rad[gi, 0]) / 16), 0,
+                         cfg.tiles_x))
+        x1 = int(np.clip(np.floor((m2d[gi, 0] + rad[gi, 0]) / 16) + 1, 0,
+                         cfg.tiles_x))
+        y0 = int(np.clip(np.floor((m2d[gi, 1] - rad[gi, 1]) / 16), 0,
+                         cfg.tiles_y))
+        y1 = int(np.clip(np.floor((m2d[gi, 1] + rad[gi, 1]) / 16) + 1, 0,
+                         cfg.tiles_y))
+        counts[rank] = max(x1 - x0, 0) * max(y1 - y0, 0)
+        for ty in range(y0, y1):
+            for tx in range(x0, x1):
+                pairs.add((ty * cfg.tiles_x + tx, rank))
+    return pairs, counts
+
+
+def _check_layout(cfg, b, pairs, n):
+    starts = np.asarray(b.starts)
+    counts = np.asarray(b.counts)
+    pg = np.asarray(b.pair_gauss)
+    got = set()
+    for t in range(cfg.n_tiles_padded):
+        assert starts[t] % cfg.chunk == 0
+        seg = pg[starts[t]: starts[t] + counts[t]]
+        assert (seg < n).all(), "dummy inside real range"
+        assert (np.diff(seg) > 0).all(), "within-tile depth order broken"
+        got |= {(t, int(g)) for g in seg}
+        pad_seg = pg[starts[t] + counts[t]: starts[t + 1]]
+        assert (pad_seg == n).all(), "real pair in alignment gap"
+    assert got == pairs
+
+
+def test_layout_matches_bruteforce_scalar_and_aniso():
+    for aniso, seed in [(False, 0), (True, 1), (True, 2)]:
+        m2d, depths, radii, valid = _scene(seed=seed, aniso=aniso)
+        cfg = RasterizeConfig(width=128, height=96, tile_size=16, chunk=16,
+                              tile_block=4, pair_capacity=1 << 13)
+        b = bin_gaussians(cfg, jnp.asarray(m2d), jnp.asarray(depths),
+                          jnp.asarray(radii), jnp.asarray(valid))
+        pairs, counts = _brute_pairs(cfg, m2d, depths, radii, valid)
+        assert int(b.total_pairs) == len(pairs)
+        _check_layout(cfg, b, pairs, len(m2d))
+        # per-gaussian pre-sort ranges
+        gs = np.asarray(b.gauss_starts)
+        np.testing.assert_array_equal(np.diff(gs), counts)
+
+
+def test_overflow_drops_whole_deepest_gaussians():
+    m2d, depths, radii, valid = _scene(n=400, seed=3)
+    cfg = RasterizeConfig(width=128, height=96, tile_size=16, chunk=16,
+                          tile_block=4, pair_capacity=256)  # tiny
+    b = bin_gaussians(cfg, jnp.asarray(m2d), jnp.asarray(depths),
+                      jnp.asarray(radii), jnp.asarray(valid))
+    pairs_all, counts = _brute_pairs(cfg, m2d, depths, radii, valid)
+    assert int(b.total_pairs) == len(pairs_all)  # raw diagnostic
+    # kept = the shallowest prefix of gaussians whose ranges fit
+    kept_pairs = set()
+    acc = 0
+    for rank, cnt in enumerate(counts):
+        if acc + cnt > 256:
+            break
+        acc += cnt
+        kept_pairs |= {p for p in pairs_all if p[1] == rank}
+    _check_layout(cfg, b, kept_pairs, len(m2d))
+
+
+def test_pair_pos_inverse_roundtrip():
+    m2d, depths, radii, valid = _scene(seed=4)
+    cfg = RasterizeConfig(width=128, height=96, tile_size=16, chunk=16,
+                          tile_block=4, pair_capacity=1 << 13)
+    b = bin_gaussians(cfg, jnp.asarray(m2d), jnp.asarray(depths),
+                      jnp.asarray(radii), jnp.asarray(valid))
+    pp = np.asarray(b.pair_pos)
+    pg = np.asarray(b.pair_gauss)
+    n = len(m2d)
+    total = int(np.asarray(b.gauss_starts)[-1])
+    live = pg < n
+    # live slots carry distinct pre-sort positions covering [0, total)
+    assert sorted(pp[live].tolist()) == list(range(total))
+    assert (pp[~live] == cfg.pair_capacity).all()
+    # pre-sort position q maps back to the same gaussian: presort order is
+    # grouped by gaussian via gauss_starts
+    gs = np.asarray(b.gauss_starts)
+    owner = np.searchsorted(gs[1:], pp[live], side="right")
+    np.testing.assert_array_equal(owner, pg[live])
+
+
+def test_reduce_segments_matches_numpy():
+    rng = np.random.default_rng(5)
+    n = 300
+    counts = rng.integers(0, 9, n)
+    total = counts.sum()
+    starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    c = int(total) + 700  # slack past starts[-1] (kernel overrun room)
+    grads = rng.normal(size=(16, c)).astype(np.float32)
+    out = np.asarray(reduce_segments(
+        jnp.asarray(grads), jnp.asarray(starts), n, chunk=128, blk=32
+    ))[:, :n]
+    expect = np.zeros((16, n), np.float32)
+    for g in range(n):
+        expect[:, g] = grads[:, starts[g]:starts[g + 1]].sum(1)
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)

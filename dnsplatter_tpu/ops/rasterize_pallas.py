@@ -16,10 +16,19 @@ translation):
     the strict-lower triangle the same way.
   * The grid is (num_tiles,); programs run sequentially on the core with
     pipelined output writes; tile pair-ranges come from a scalar-prefetch
-    offsets array (CSR layout from the shared binning stage).
+    offsets array (chunk-aligned CSR layout from the binning sort).
+  * Early termination: the forward sweep is a while_loop that stops once
+    every pixel of the tile saturates (T <= 1e-4) — the CUDA
+    rasterizer's per-pixel `break` at tile granularity — draining the
+    in-flight prefetch so scratch semaphores stay balanced; the backward
+    replays only up to the deepest contributor recorded by the forward
+    (`last`), zero-filling the skipped gradient slabs.
   * Backward writes per-PAIR gradients to an exclusive (16, C) slab (no
-    atomics; every pair owns a column); XLA reduces them per Gaussian
-    with a sorted segment-sum over the pre-sort pair order.
+    atomics; every pair owns a column). `reduce_segments` then sums them
+    per Gaussian: gradients are re-ordered into pre-sort order (where
+    each Gaussian's pairs are contiguous) and each program contracts
+    512-lane chunks against a range-membership onehot on the MXU —
+    exact summation, no 2M-row scatter-add.
 
 Accumulators and tiles are (F|1, P=tile_size^2) so the lane dimension is
 256 — native f32 tiling. All math is f32; semantics identical to the
@@ -358,8 +367,8 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
     p = tile * tile
 
     def kernel(starts_ref, counts_ref, payload_hbm, g_out_ref, g_alpha_ref,
-               tfin_ref, last_ref, grad_hbm, pay_vmem, grad_vmem, sems,
-               gsem):
+               tfin_ref, last_ref, grad_hbm, nch_ref, pay_vmem, grad_vmem,
+               sems, gsem):
         t = pl.program_id(0)
         start = pl.multiple_of(starts_ref[t], k)
         cnt = counts_ref[t]
@@ -394,21 +403,12 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
         # The replay only needs chunks up to the deepest contributor
         # recorded by the forward pass: chunks past max(last) have
         # alpha_eff == 0 everywhere (they neither move t_back/sacc nor
-        # produce gradients) — zero-fill their slabs and skip the math.
+        # produce gradients). Their slabs are left UNWRITTEN — the caller
+        # masks them out with the per-tile depth reported via nch_ref
+        # (serial zero-fill DMAs cost ~15 ms/frame; a fused XLA select is
+        # free).
         nch_eff = jnp.maximum((jnp.max(last) + k) // k, 0)
-
-        def zero_fill(j, _):
-            grad_vmem[...] = jnp.zeros((GW, k), jnp.float32)
-            copy = pltpu.make_async_copy(
-                grad_vmem,
-                grad_hbm.at[:, pl.ds(start + j * k, k)],
-                gsem,
-            )
-            copy.start()
-            copy.wait()
-            return 0
-
-        jax.lax.fori_loop(nch_eff, nchunks, zero_fill, 0)
+        nch_ref[0] = jnp.full((1, 128), nch_eff, jnp.int32)
 
         @pl.when(nch_eff > 0)
         def _():
@@ -517,9 +517,11 @@ def backward_tiles(
     tile: int,
     tiles_x: int,
     chunk: int,
-) -> jax.Array:
-    """Returns per-pair gradients (16, C + K); columns of untouched pairs
-    are whatever was in memory — mask with pair_valid afterwards."""
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (per-pair gradients (16, C_al), per-tile replayed chunk
+    counts (T,)). Columns of pairs past a tile's replayed depth (and of
+    the alignment tail) hold stale memory — mask with the replay counts
+    before reducing."""
     p = tile * tile
     kernel = _make_bwd_kernel(n_feats, chunk, tile, tiles_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -536,7 +538,11 @@ def backward_tiles(
             pl.BlockSpec((1, 1, p), lambda t, s1, s2: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, 128), lambda t, s1, s2: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, PW, chunk), jnp.float32),
             pltpu.VMEM((GW, chunk), jnp.float32),
@@ -544,14 +550,15 @@ def backward_tiles(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    (grads,) = pl.pallas_call(
+    grads, nch = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((GW, payload.shape[1]), jnp.float32)
+            jax.ShapeDtypeStruct((GW, payload.shape[1]), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, 128), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
     )(tile_starts, tile_counts, payload, g_out_tiles, g_alpha_tiles,
       tfin_tiles, last_tiles)
-    return grads
+    return grads, nch[:, 0, 0]

@@ -73,9 +73,10 @@ def test_layout_matches_bruteforce_scalar_and_aniso():
         pairs, counts = _brute_pairs(cfg, m2d, depths, radii, valid)
         assert int(b.total_pairs) == len(pairs)
         _check_layout(cfg, b, pairs, len(m2d))
-        # per-gaussian pre-sort ranges
+        # per-gaussian grouped ranges (spatial walk order)
         gs = np.asarray(b.gauss_starts)
-        np.testing.assert_array_equal(np.diff(gs), counts)
+        sp = np.asarray(b.spatial_perm)
+        np.testing.assert_array_equal(np.diff(gs), counts[sp])
 
 
 def test_overflow_drops_whole_deepest_gaussians():
@@ -111,11 +112,13 @@ def test_pair_pos_inverse_roundtrip():
     # live slots carry distinct pre-sort positions covering [0, total)
     assert sorted(pp[live].tolist()) == list(range(total))
     assert (pp[~live] == cfg.pair_capacity).all()
-    # pre-sort position q maps back to the same gaussian: presort order is
-    # grouped by gaussian via gauss_starts
+    # grouped position q maps back to the same gaussian: the grouped
+    # order is per-gaussian contiguous (gauss_starts over the spatial
+    # walk; spatial_perm maps spatial rank -> depth-sorted id)
     gs = np.asarray(b.gauss_starts)
+    sp = np.asarray(b.spatial_perm)
     owner = np.searchsorted(gs[1:], pp[live], side="right")
-    np.testing.assert_array_equal(owner, pg[live])
+    np.testing.assert_array_equal(sp[owner], pg[live])
 
 
 def test_reduce_segments_matches_numpy():

@@ -130,7 +130,8 @@ def export_dn(params, alive, data, output_dir: Path,
               sh_degree: int = 3,
               edge_threshold: float = 0.01,
               total_points: int = 2_000_000,
-              also_tsdf: bool = True) -> Path:
+              also_tsdf: bool = True,
+              poisson_resolution: int = 192) -> Path:
     """`gs-mesh dn`: depth + surface-normal backprojection with edge
     filtering -> oriented point cloud (Poisson input) [+ TSDF mesh]."""
     output_dir = Path(output_dir)
@@ -170,7 +171,9 @@ def export_dn(params, alive, data, output_dir: Path,
         PoissonConfig, poisson_reconstruct, trim_mesh_to_points,
     )
 
-    verts, faces = poisson_reconstruct(pts, nrm, PoissonConfig())
+    verts, faces = poisson_reconstruct(
+        pts, nrm, PoissonConfig(resolution=poisson_resolution)
+    )
     extent = float(np.linalg.norm(pts.max(0) - pts.min(0)))
     verts, faces = trim_mesh_to_points(verts, faces, pts, 0.02 * extent)
     mesh_path = output_dir / "DepthAndNormals_poisson_mesh.ply"
@@ -183,7 +186,8 @@ def export_dn(params, alive, data, output_dir: Path,
 
 def export_gaussians(params, alive, data, output_dir: Path,
                      min_opacity: float = 0.1,
-                     cull_by_color: bool = False) -> Path:
+                     cull_by_color: bool = False,
+                     poisson_resolution: int = 192) -> Path:
     """`gs-mesh gaussians`: centers + per-Gaussian normals as an oriented
     point cloud (export_mesh.py:128-310)."""
     from dnsplatter_tpu.ops.sh import sh_to_rgb
@@ -206,7 +210,9 @@ def export_gaussians(params, alive, data, output_dir: Path,
             PoissonConfig, poisson_reconstruct, trim_mesh_to_points,
         )
 
-        verts, faces = poisson_reconstruct(pts, nrm, PoissonConfig())
+        verts, faces = poisson_reconstruct(
+            pts, nrm, PoissonConfig(resolution=poisson_resolution)
+        )
         extent = float(np.linalg.norm(pts.max(0) - pts.min(0)))
         verts, faces = trim_mesh_to_points(verts, faces, pts, 0.03 * extent)
         io.write_ply(output_dir / "Gaussians_poisson_mesh.ply", verts,

@@ -15,8 +15,8 @@ Honesty guarantees (round-2):
     fallback in the JSON);
   * before timing, a small-config pallas-vs-xla forward+gradient allclose
     runs ON DEVICE and its result is reported ("parity");
-  * pair capacity (2^21) covers the scene's full ~1.9M intersection
-    list — no silent pair dropping.
+  * pair capacity covers the scene's full intersection list (~1.41M
+    pairs with tight per-axis AABBs) plus headroom — no silent dropping.
 
 Measurement notes: the TPU in this environment sits behind a high-latency
 tunnel whose `block_until_ready` is advisory; iterations are dispatched
@@ -50,7 +50,7 @@ NOMINAL_GSPLAT_MPIX_S = 75.0
 
 N_GAUSS = 100_000
 WIDTH, HEIGHT = 1024, 576
-PAIR_CAPACITY = 1 << 21  # covers the full ~1.9M-pair scene, no dropping
+PAIR_CAPACITY = 1_572_864  # covers the full ~1.41M-pair scene + 11% headroom
 INNER_FRAMES = 24  # frames per dispatch (lax.scan) — amortizes tunnel RTT
 ITERS = 3  # dispatches
 

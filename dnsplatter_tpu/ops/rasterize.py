@@ -112,11 +112,11 @@ class _Binned(NamedTuple):
 
     order: jax.Array  # (N,) depth sort permutation: sorted[i] = orig[order[i]]
     pair_gauss: jax.Array  # (C_al,) depth-sorted gaussian index; == N => dummy
-    pair_pos: jax.Array  # (C_al,) SPATIAL-grouped pair position; == C => dead
+    pair_pos: jax.Array  # (C_al,) pre-sort pair position; == C => dead slot
     starts: jax.Array  # (T_padded + 1,) chunk-aligned range starts per tile
     counts: jax.Array  # (T_padded,) REAL per-tile pair counts
-    gauss_starts: jax.Array  # (N + 1,) per-Gaussian ranges, SPATIAL order
-    spatial_perm: jax.Array  # (N,) center-tile ordering of depth-sorted ids
+    gauss_starts: jax.Array  # (N + 1,) per-Gaussian pre-sort pair ranges
+    spatial_perm: jax.Array  # (N,) grouping order of gauss_starts (identity)
     total_pairs: jax.Array  # () int32 — raw total (overflow diagnostic)
 
 
@@ -222,45 +222,25 @@ def bin_gaussians(
     # ~40 ms/frame at 2M pairs; this runs in a few ms. Duplicate range
     # starts (zero-count Gaussians) telescope correctly, and fully
     # dropped tails scatter out of bounds (mode="drop").
-    # The gradient-reduction pair order is grouped per Gaussian but walks
-    # Gaussians by their CENTER TILE (row-major) instead of depth: that
-    # makes the backward's aligned->grouped re-order gather stream almost
-    # sequentially through the tile-segment buffer (a depth-ordered
-    # grouping produces a spatially random permutation, which gathers at
-    # ~50 ms per 2M rows on TPU; the spatial walk is locality-friendly).
-    ctile = (
-        jnp.clip(jnp.floor(m2d_s[:, 0] / ts).astype(jnp.int32), 0,
-                 cfg.tiles_x - 1)
-        + jnp.clip(jnp.floor(m2d_s[:, 1] / ts).astype(jnp.int32), 0,
-                   cfg.tiles_y - 1) * cfg.tiles_x
-    )
-    spatial_perm = jnp.argsort(ctile, stable=True)
-    counts_sp = counts_g[spatial_perm]
-    gauss_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_sp)]
-    ).astype(jnp.int32)
-    # spatial range start per DEPTH-sorted Gaussian id
-    soff_depth = jnp.zeros((n,), jnp.int32).at[spatial_perm].set(
-        gauss_starts[:n]
-    )
+    gauss_starts = jnp.concatenate([offsets, total[None]]).astype(jnp.int32)
+    spatial_perm = jnp.arange(n, dtype=jnp.int32)
 
     pos = jnp.arange(c, dtype=jnp.int32)
     live = pos < total
     xy = x0 * 4096 + y0
     vals = jnp.stack(
-        [jnp.arange(n, dtype=jnp.int32), offsets, jnp.maximum(w, 1), xy,
-         soff_depth],
+        [jnp.arange(n, dtype=jnp.int32), offsets, jnp.maximum(w, 1), xy],
         axis=-1,
     )
     diffs = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]], axis=0)
-    table = jnp.zeros((c, 5), jnp.int32).at[offsets].add(diffs, mode="drop")
+    table = jnp.zeros((c, 4), jnp.int32).at[offsets].add(diffs, mode="drop")
     acc = jnp.cumsum(table, axis=0)
     pair_gauss0 = acc[:, 0]
     rank = pos - acc[:, 1]
     wg = jnp.maximum(acc[:, 2], 1)
     x0p = acc[:, 3] // 4096
     y0p = acc[:, 3] % 4096
-    q_spatial = acc[:, 4] + rank  # position in the spatial-grouped order
+    q_spatial = pos  # pre-sort (depth-grouped) pair position
     tile_id = x0p + rank % wg + (y0p + rank // wg) * cfg.tiles_x
     tile_id = jnp.clip(tile_id, 0, t_pad)  # dead-lane overflow insurance
 
@@ -696,7 +676,6 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
         tfin_t, last_t,
         cfg.n_tiles_padded, f, cfg.tile_size, cfg.tiles_x, cfg.chunk,
     )  # (GW, C_al) field-major + per-tile replayed chunk counts
-    c = cfg.pair_capacity
     c_al = grads.shape[1]
     # Slots past each tile's replayed depth (and the alignment tail) hold
     # stale memory; build the per-slot write limit by propagating each
@@ -711,25 +690,15 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
     )
     written = jnp.arange(c_al, dtype=jnp.int32) < limit_slot
     grads = jnp.where(written[None, :], grads, 0.0)
-    # Re-order per-pair gradients into the spatial-grouped order (every
-    # Gaussian's pairs contiguous; Gaussians walk by center tile so this
-    # gather streams near-sequentially through the tile segments), then
-    # sum the contiguous ranges with the Pallas segment-reduction kernel.
-    # Replaces a 2M-row XLA segment-sum (~40 ms/frame). Dead grouped
-    # slots (q >= total) default to slot 0 through the zero-init inv, but
-    # no Gaussian range covers them.
-    inv = jnp.zeros((c,), jnp.int32).at[binned.pair_pos].set(
-        jnp.arange(c_al, dtype=jnp.int32), mode="drop"
-    )
-    grouped = grads.T[inv].T  # (GW, C) spatial-grouped pair order
-    grouped = jnp.pad(grouped, ((0, 0), (0, 512)))  # reduce-kernel overrun
-    per_spatial = rp.reduce_segments(
-        grouped, binned.gauss_starts, n
-    )[:, :n]  # (GW, N) in spatial order
-    # spatial order -> depth-sorted order (one small (N, GW) scatter)
-    per_sorted = jnp.zeros((n, per_spatial.shape[0]), jnp.float32).at[
-        binned.spatial_perm
-    ].set(per_spatial.T)
+    # Per-Gaussian reduction: one segment-sum keyed by the decoded pair
+    # ids (dummies land in the dropped N bucket). Measured note: any
+    # re-ordering of the (GW, C_al) slab — gather, scatter, or a second
+    # sort — costs 40-50 ms at 2M pairs because per-row accesses into a
+    # >100 MB table run at DMA-burst efficiency regardless of index
+    # locality; the direct scatter-add is the cheapest of the family.
+    per_sorted = jax.ops.segment_sum(
+        grads.T, binned.pair_gauss, num_segments=n + 1
+    )[:n]  # (N, GW)
 
     order = binned.order
 

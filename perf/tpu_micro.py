@@ -1,0 +1,114 @@
+"""Microbenchmark binning components on TPU."""
+import time
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+import jax.numpy as jnp
+import numpy as np
+
+N = 100_000
+C = 1 << 21
+T = 2304
+K = 128
+D = T * (K - 1)
+CT = C + D
+REPS = 30
+
+rng = np.random.default_rng(0)
+counts_np = rng.integers(0, 40, N).astype(np.int32)
+counts = jnp.asarray(counts_np)
+keys_np = rng.integers(0, 2**28, CT).astype(np.int32)
+keysj = jnp.asarray(keys_np)
+gauss_np = rng.integers(0, N, CT).astype(np.int32)
+gaussj = jnp.asarray(gauss_np)
+fields_np = rng.normal(size=(N + 1, 16)).astype(np.float32)
+fieldsj = jnp.asarray(fields_np)
+x0 = jnp.asarray(rng.integers(0, 63, N).astype(np.int32))
+y0 = jnp.asarray(rng.integers(0, 35, N).astype(np.int32))
+grads_np = rng.normal(size=(16, CT)).astype(np.float32)
+gradsj = jnp.asarray(grads_np)
+
+def timed(name, body, *args):
+    @jax.jit
+    def outer(seed, *a):
+        def one(c, i):
+            return c + body(seed + i.astype(jnp.float32), *a), None
+        out, _ = jax.lax.scan(one, jnp.zeros(()), jnp.arange(REPS))
+        return out
+    out = outer(jnp.float32(0), *args); float(np.asarray(out))
+    t0 = time.perf_counter()
+    outs = [outer(jnp.float32(i+1), *args) for i in range(3)]
+    for o in outs: float(np.asarray(o))
+    dt = (time.perf_counter() - t0) / (3 * REPS) * 1e3
+    print(f"{name}: {dt:.2f} ms", flush=True)
+
+# 1. repeat expansion
+def b_repeat(s, cnts):
+    c2 = cnts + (s > 1e9).astype(jnp.int32)
+    pg = jnp.repeat(jnp.arange(N, dtype=jnp.int32), c2, total_repeat_length=C)
+    return pg[::997].sum().astype(jnp.float32)
+timed("repeat(N->C)", b_repeat, counts)
+
+# 2. sort int32 C_tot
+def b_sort(s, k):
+    kk = k + (s > 1e9).astype(jnp.int32)
+    return jnp.sort(kk)[::997].sum().astype(jnp.float32)
+timed("sort(CT int32)", b_sort, keysj)
+
+# 3. gtab row gather (C,4)
+def b_gtab(s, pg):
+    gtab = jnp.stack([counts, counts + 1, x0, y0], -1)
+    pg2 = jnp.clip(pg[:C] + (s > 1e9).astype(jnp.int32), 0, N - 1)
+    rows = gtab[pg2]
+    return rows[::997].sum().astype(jnp.float32)
+timed("gtab gather (C,4)", b_gtab, gaussj)
+
+# 4. payload row gather (CT,16) + transpose
+def b_payload(s, pg):
+    pg2 = jnp.clip(pg + (s > 1e9).astype(jnp.int32), 0, N)
+    pay = fieldsj[pg2].T
+    return pay[:, ::997].sum()
+timed("payload gather+T (CT,16)", b_payload, gaussj)
+
+# 4b. payload gather without transpose
+def b_payload_not(s, pg):
+    pg2 = jnp.clip(pg + (s > 1e9).astype(jnp.int32), 0, N)
+    pay = fieldsj[pg2]
+    return pay[::997].sum()
+timed("payload gather only", b_payload_not, gaussj)
+
+# 5. corner histogram scatter (4N into 65x37 grid)
+def b_hist(s, xx, yy):
+    x1 = jnp.minimum(xx + 3, 64); y1 = jnp.minimum(yy + 2, 36)
+    gx, gy = 65, 37
+    idx = jnp.concatenate([yy * gx + xx, yy * gx + x1, y1 * gx + xx, y1 * gx + x1])
+    one = jnp.ones(N, jnp.int32) + (s > 1e9).astype(jnp.int32)
+    val = jnp.concatenate([one, -one, -one, one])
+    grid = jnp.zeros((gy * gx,), jnp.int32).at[idx].add(val)
+    c2d = jnp.cumsum(jnp.cumsum(grid.reshape(gy, gx), 0), 1)
+    return c2d.sum().astype(jnp.float32)
+timed("corner hist (4N scatter)", b_hist, x0, y0)
+
+# 6. segment_sum (CT,16) -> N+1
+def b_segsum(s, g, pg):
+    gg = g.T + s * 1e-20
+    per = jax.ops.segment_sum(gg, pg, num_segments=N + 1)
+    return per[::97].sum()
+timed("segment_sum (CT,16)->N", b_segsum, gradsj, gaussj)
+
+# 6b. grads transpose only
+def b_gt(s, g):
+    gg = (g + s * 1e-20).T
+    return gg[::997].sum()
+timed("grads transpose (16,CT)->(CT,16)", b_gt, gradsj)
+
+# 7. argsort depths N + 7 gathers
+def b_depthsort(s, cnts):
+    d = cnts.astype(jnp.float32) + s * 1e-9
+    order = jnp.argsort(d)
+    tot = jnp.zeros(())
+    for _ in range(3):
+        tot = tot + fieldsj[:N][order].sum()
+    return tot
+timed("argsort N + 3x(N,16) gather", b_depthsort, counts)

@@ -74,6 +74,16 @@ class RasterizeConfig(NamedTuple):
     tile_block: int = 32
     pair_capacity: int = 1 << 20
     backend: str = "xla"  # "xla" (portable) | "pallas" (TPU kernels)
+    # Per-Gaussian gradient reduction strategy (pallas backend only):
+    #   "segsum"   — exact f32 scatter-add (jax.ops.segment_sum); ~31 ms
+    #                at 1.9M pairs on TPU (per-row serialized scatter).
+    #   "sortpack" — round per-pair grads to bf16, pack 2 fields/int32,
+    #                variadic-sort them into pre-sort pair order (where
+    #                each Gaussian's pairs are contiguous) and reduce
+    #                with the MXU reduce_segments kernel; ~13.5 ms at the
+    #                same scale. Grad error from the bf16 rounding is
+    #                ~2^-9 relative per pair (sums recover in f32).
+    grad_reduce: str = "sortpack"
 
     @property
     def tiles_x(self) -> int:
@@ -230,16 +240,23 @@ def bin_gaussians(
     xy = x0 * 4096 + y0
     vals = jnp.stack(
         [jnp.arange(n, dtype=jnp.int32), offsets, jnp.maximum(w, 1), xy],
-        axis=-1,
-    )
-    diffs = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]], axis=0)
-    table = jnp.zeros((c, 4), jnp.int32).at[offsets].add(diffs, mode="drop")
-    acc = jnp.cumsum(table, axis=0)
-    pair_gauss0 = acc[:, 0]
-    rank = pos - acc[:, 1]
-    wg = jnp.maximum(acc[:, 2], 1)
-    x0p = acc[:, 3] // 4096
-    y0p = acc[:, 3] % 4096
+        axis=0,
+    )  # (4, N) field-major
+    diffs = jnp.concatenate([vals[:, :1], vals[:, 1:] - vals[:, :-1]], axis=1)
+    table = jnp.zeros((4, c), jnp.int32).at[:, offsets].add(diffs, mode="drop")
+    if cfg.backend == "pallas" and c < (1 << 24):
+        # Exact MXU prefix sweep (bandwidth-bound) — XLA's multi-pass
+        # int32 scan over the 25 MB table costs ~4 ms at 1.6M pairs.
+        from dnsplatter_tpu.ops import rasterize_pallas as rp
+
+        acc = rp.cumsum_lanes_i32(table)
+    else:
+        acc = jnp.cumsum(table, axis=1)
+    pair_gauss0 = acc[0]
+    rank = pos - acc[1]
+    wg = jnp.maximum(acc[2], 1)
+    x0p = acc[3] // 4096
+    y0p = acc[3] % 4096
     q_spatial = pos  # pre-sort (depth-grouped) pair position
     tile_id = x0p + rank % wg + (y0p + rank // wg) * cfg.tiles_x
     tile_id = jnp.clip(tile_id, 0, t_pad)  # dead-lane overflow insurance
@@ -661,6 +678,28 @@ def _raster_bwd(cfg, residuals, cotangents):
     )
 
 
+def _pack_bf16_2(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Two f32 rows -> one int32 row holding (bf16(a) << 16 | bf16(b))."""
+    hi = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return ((hi << 16) | lo).astype(jnp.int32)
+
+
+def _unpack_bf16_2(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    u = w.astype(jnp.uint32)
+    a = jax.lax.bitcast_convert_type(
+        (u >> 16).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    b = jax.lax.bitcast_convert_type(
+        (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    return a, b
+
+
 def _raster_bwd_pallas(cfg, residuals, cotangents):
     from dnsplatter_tpu.ops import rasterize_pallas as rp
 
@@ -683,22 +722,69 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
     # delta-scatter + cumsum trick used in binning, then select.
     limit = binned.starts[:-1] + nch * cfg.chunk
     ldiff = jnp.concatenate([limit[:1], limit[1:] - limit[:-1]])
-    limit_slot = jnp.cumsum(
-        jnp.zeros((c_al,), jnp.int32).at[binned.starts[:-1]].add(
-            ldiff, mode="drop"
-        )
+    lscat = jnp.zeros((c_al,), jnp.int32).at[binned.starts[:-1]].add(
+        ldiff, mode="drop"
     )
+    if c_al < (1 << 24):
+        limit_slot = rp.cumsum_lanes_i32(lscat[None, :])[0]
+    else:
+        limit_slot = jnp.cumsum(lscat)
     written = jnp.arange(c_al, dtype=jnp.int32) < limit_slot
     grads = jnp.where(written[None, :], grads, 0.0)
-    # Per-Gaussian reduction: one segment-sum keyed by the decoded pair
-    # ids (dummies land in the dropped N bucket). Measured note: any
-    # re-ordering of the (GW, C_al) slab — gather, scatter, or a second
-    # sort — costs 40-50 ms at 2M pairs because per-row accesses into a
-    # >100 MB table run at DMA-burst efficiency regardless of index
-    # locality; the direct scatter-add is the cheapest of the family.
-    per_sorted = jax.ops.segment_sum(
-        grads.T, binned.pair_gauss, num_segments=n + 1
-    )[:n]  # (N, GW)
+
+    if cfg.grad_reduce == "sortpack":
+        # Per-Gaussian reduction via ONE variadic sort into pre-sort pair
+        # order + the MXU reduce_segments kernel. The 6 + F live gradient
+        # rows are rounded to bf16 and packed two-per-int32 lane, so the
+        # sort carries ceil((6+F)/2) value rows instead of 16 f32 rows —
+        # measured 13.5 ms total vs 31 ms for the direct segment-sum at
+        # 1.9M pairs (perf/tpu_micro5.py). Keys are the pre-sort pair
+        # positions (unique in [0, total); dummies carry the sentinel C),
+        # so sorted position j holds EXACTLY the pair with pair_pos == j
+        # and binned.gauss_starts delimits each Gaussian's contiguous
+        # range. Stale slots keep their real key with zeroed values.
+        # |dmx|,|dmy| (absgrad) are recomputed from the sorted rows, so
+        # they do not ride the sort.
+        rows = [grads[i] for i in range(6)] + [grads[6 + i] for i in range(f)]
+        nlive = len(rows)
+        if nlive % 2:
+            rows.append(jnp.zeros_like(rows[0]))
+        packed = tuple(
+            _pack_bf16_2(rows[2 * i], rows[2 * i + 1])
+            for i in range(len(rows) // 2)
+        )
+        sorted_out = jax.lax.sort((binned.pair_pos,) + packed, num_keys=1)
+        unpacked = []
+        for w in sorted_out[1:]:
+            a, b = _unpack_bf16_2(w)
+            unpacked += [a, b]
+        unpacked = unpacked[:nlive]
+        unpacked += [jnp.abs(unpacked[0]), jnp.abs(unpacked[1])]
+        slab = jnp.stack(unpacked, axis=0)  # (8 + F, C_al)
+        # reduce_segments streams `chunk`-wide lane slices; guarantee
+        # in-bounds reads past starts[-1] even when total == capacity.
+        slab = jnp.pad(slab, ((0, 0), (0, 512)))
+        per = rp.reduce_segments(slab, binned.gauss_starts, n)
+        per_sorted = per[:, :n].T  # (N, 8 + F)
+        gm2d_s = per_sorted[:, 0:2]
+        gcon_s = per_sorted[:, 2:5]
+        gop_s = per_sorted[:, 5]
+        gfeat_s = per_sorted[:, 6:6 + f]
+        gabs_s = per_sorted[:, 6 + f:8 + f]
+    else:
+        # Exact f32 path: one segment-sum keyed by the decoded pair ids
+        # (dummies land in the dropped N bucket). Measured note: f32
+        # re-ordering of the (GW, C_al) slab — gather, scatter, or an
+        # UNPACKED 16-row sort — costs 21-50 ms at 2M pairs; the direct
+        # scatter-add is the cheapest exact-f32 formulation.
+        per_sorted = jax.ops.segment_sum(
+            grads.T, binned.pair_gauss, num_segments=n + 1
+        )[:n]  # (N, GW)
+        gm2d_s = per_sorted[:, 0:2]
+        gcon_s = per_sorted[:, 2:5]
+        gop_s = per_sorted[:, 5]
+        gfeat_s = per_sorted[:, 6:6 + f]
+        gabs_s = per_sorted[:, rp.GW - 2:rp.GW]
 
     order = binned.order
 
@@ -706,11 +792,11 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
         return jnp.zeros_like(g).at[order].set(g)
 
     return (
-        unsort(per_sorted[:, 0:2]),
-        unsort(per_sorted[:, 2:5]),
-        unsort(per_sorted[:, 5]),
-        unsort(per_sorted[:, 6:6 + f]),
-        unsort(per_sorted[:, rp.GW - 2:rp.GW]),
+        unsort(gm2d_s),
+        unsort(gcon_s),
+        unsort(gop_s),
+        unsort(gfeat_s),
+        unsort(gabs_s),
         jnp.zeros((n,), jnp.float32),
         jnp.zeros((n, 2), jnp.float32),
         jnp.zeros((n,), jnp.float32),

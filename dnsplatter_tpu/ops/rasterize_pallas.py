@@ -80,11 +80,58 @@ def _tri(k: int, kind: str) -> jax.Array:
     col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     if kind == "strict_upper":  # M[j,k]=1 iff j<k  (exclusive prefix)
         return (row < col).astype(jnp.float32)
+    if kind == "upper_incl":  # M[j,k]=1 iff j<=k (inclusive prefix)
+        return (row <= col).astype(jnp.float32)
     if kind == "lower_incl":  # M[j,k]=1 iff j>=k (inclusive suffix)
         return (row >= col).astype(jnp.float32)
     if kind == "strict_lower":  # M[j,k]=1 iff j>k  (exclusive suffix)
         return (row > col).astype(jnp.float32)
     raise ValueError(kind)
+
+
+def _make_cumsum_kernel(r: int, ch: int):
+    def kernel(x_ref, out_ref, carry_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            carry_ref[...] = jnp.zeros_like(carry_ref)
+
+        blk = x_ref[...].astype(jnp.float32)  # (R, CH)
+        tri = _tri(ch, "upper_incl")
+        pref = jnp.dot(blk, tri, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        out_ref[...] = (pref + carry_ref[:, 0:1]).astype(jnp.int32)
+        carry_ref[...] = carry_ref[...] + jnp.broadcast_to(
+            jnp.sum(blk, axis=1, keepdims=True), carry_ref.shape
+        )
+
+    return kernel
+
+
+def cumsum_lanes_i32(x: jax.Array, chunk: int = 512) -> jax.Array:
+    """Inclusive int32 cumulative sum along the lane (last) axis of a
+    (R, C) array — EXACT while every running sum stays within |v| < 2^24.
+
+    XLA's multi-pass scan over a 25 MB int32 table costs ~4 ms/frame in
+    binning (perf/tpu_micro5.py); this single sequential sweep is
+    bandwidth-bound: per 512-lane block, an (R, 512) @ (512, 512)
+    inclusive-prefix triangular matmul on the MXU (f32 holds integers
+    exactly below 2^24) plus a running per-row carry.
+    """
+    r, c = x.shape
+    cp = -(-c // chunk) * chunk
+    xp = jnp.pad(x, ((0, 0), (0, cp - c)))
+    out = pl.pallas_call(
+        _make_cumsum_kernel(r, chunk),
+        grid=(cp // chunk,),
+        in_specs=[pl.BlockSpec((r, chunk), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((r, chunk), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((r, cp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((r, 128), jnp.float32)],
+        interpret=_interpret(),
+    )(xp)
+    return out[:, :c]
 
 
 def _chunk_geometry(pay, px, py, jj, cnt):
@@ -325,6 +372,10 @@ def reduce_segments(
     aligned pair buffer's dummy tail guarantees this).
     """
     gw = grads.shape[0]
+    # Mosaic memref slices need the sublane (row) dim 8-aligned.
+    gw_pad = -(-gw // 8) * 8
+    if gw_pad != gw:
+        grads = jnp.pad(grads, ((0, gw_pad - gw), (0, 0)))
     n_pad = -(-n // blk) * blk
     starts_p = jnp.concatenate([
         gauss_starts,
@@ -333,7 +384,7 @@ def reduce_segments(
     ])
     s_blocks = starts_p[:n_pad].reshape(-1, 1, blk)
     e_blocks = starts_p[1:n_pad + 1].reshape(-1, 1, blk)
-    kernel = _make_reduce_kernel(gw, chunk, blk)
+    kernel = _make_reduce_kernel(gw_pad, chunk, blk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // blk,),
@@ -345,22 +396,22 @@ def reduce_segments(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, gw, blk), lambda b, s: (b, 0, 0),
+            pl.BlockSpec((1, gw_pad, blk), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, gw, chunk), jnp.float32),
+            pltpu.VMEM((2, gw_pad, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_pad // blk, gw, blk),
+        out_shape=[jax.ShapeDtypeStruct((n_pad // blk, gw_pad, blk),
                                         jnp.float32)],
         interpret=_interpret(),
     )(starts_p, grads, s_blocks, e_blocks)
-    return jnp.moveaxis(out, 1, 0).reshape(gw, n_pad)
+    return jnp.moveaxis(out, 1, 0).reshape(gw_pad, n_pad)[:gw]
 
 
 def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):

@@ -52,12 +52,17 @@ def test_pallas_forward_matches_xla(wh):
                                rtol=1e-5, atol=1e-6)
 
 
-def test_pallas_backward_matches_xla():
+@pytest.mark.parametrize("grad_reduce,rtol,atol", [
+    ("segsum", 1e-4, 1e-5),     # exact f32 reduction: kernel-math parity
+    ("sortpack", 2e-2, 2e-3),   # bf16-packed sort reduction: ~2^-9/pair
+])
+def test_pallas_backward_matches_xla(grad_reduce, rtol, atol):
     width, height = 48, 32
     proj, opac, feats = make_scene(jax.random.PRNGKey(1), n=250, width=width,
                                    height=height)
     base = RasterizeConfig(width=width, height=height, tile_size=16,
-                           chunk=16, tile_block=2, pair_capacity=1 << 13)
+                           chunk=16, tile_block=2, pair_capacity=1 << 13,
+                           grad_reduce=grad_reduce)
     w_img = jax.random.normal(jax.random.PRNGKey(7), (height, width, 4))
     w_a = jax.random.normal(jax.random.PRNGKey(8), (height, width, 1))
     sink = jnp.zeros_like(proj.means2d)
@@ -78,5 +83,5 @@ def test_pallas_backward_matches_xla():
     for name, gx, gp in zip(names, grads["xla"], grads["pallas"]):
         gx, gp = np.asarray(gx), np.asarray(gp)
         scale = max(np.abs(gx).max(), 1e-6)
-        np.testing.assert_allclose(gp / scale, gx / scale, rtol=1e-4,
-                                   atol=1e-5, err_msg=name)
+        np.testing.assert_allclose(gp / scale, gx / scale, rtol=rtol,
+                                   atol=atol, err_msg=name)

@@ -471,14 +471,28 @@ def _raster_fwd(cfg, means2d, conics, opacities, features, absgrad_sink,
                 depths, radii, validf):
     del absgrad_sink
     binned = bin_gaussians(cfg, means2d, depths, radii, validf)
+    if cfg.backend == "pallas":
+        # ONE depth-order row gather of the concatenated per-Gaussian
+        # field table (vs 4 separate N-row gathers): per-row access cost
+        # dominates N-scale gathers, so fusing them matters (~1-2 ms
+        # each at N=100k on TPU).
+        from dnsplatter_tpu.ops import rasterize_pallas as rp
+
+        n = means2d.shape[0]
+        f = features.shape[-1]
+        assert f <= rp.MAX_FEATS
+        opac_masked = jnp.where(validf > 0.5, opacities, 0.0)
+        fields = jnp.concatenate(
+            [means2d, conics, opac_masked[:, None], features,
+             jnp.zeros((n, rp.PW - 6 - f), jnp.float32)],
+            axis=-1,
+        )
+        fields_s = fields[binned.order]
+        return _raster_fwd_pallas(cfg, binned, fields_s, f, n)
     m2d_s = means2d[binned.order]
     con_s = conics[binned.order]
     opac_s = jnp.where(validf[binned.order] > 0.5, opacities[binned.order], 0.0)
     feat_s = features[binned.order]
-    if cfg.backend == "pallas":
-        return _raster_fwd_pallas(cfg, binned,
-                                  (m2d_s, con_s, opac_s, feat_s),
-                                  means2d.shape[0])
     tiles_out, t_final, last = _rasterize_forward(
         cfg, binned, (m2d_s, con_s, opac_s, feat_s)
     )
@@ -489,7 +503,7 @@ def _raster_fwd(cfg, means2d, conics, opacities, features, absgrad_sink,
     return (image, alpha), residuals
 
 
-def _raster_fwd_pallas(cfg, binned, sorted_data, n):
+def _raster_fwd_pallas(cfg, binned, fields_s, f, n):
     from dnsplatter_tpu.ops import rasterize_pallas as rp
 
     if jax.default_backend() == "tpu" and cfg.chunk % 128 != 0:
@@ -499,19 +513,11 @@ def _raster_fwd_pallas(cfg, binned, sorted_data, n):
             "slices"
         )
 
-    m2d_s, con_s, opac_s, feat_s = sorted_data
-    f = feat_s.shape[-1]
-    assert f <= rp.MAX_FEATS
     # ONE (N+1, 16) row gather then a field-major transpose: Mosaic's
     # VMEM/HBM memrefs are 128-lane tiled, so the per-chunk DMA must
     # slice 128 LANES — the pair axis has to be minor. Row N of the field
     # table is zeros, the landing slot for dummy/alignment pairs.
-    fields = jnp.concatenate(
-        [m2d_s, con_s, opac_s[:, None], feat_s,
-         jnp.zeros((n, rp.PW - 6 - f), jnp.float32)],
-        axis=-1,
-    )
-    fields = jnp.concatenate([fields, jnp.zeros((1, rp.PW), jnp.float32)])
+    fields = jnp.concatenate([fields_s, jnp.zeros((1, rp.PW), jnp.float32)])
     payload = fields[binned.pair_gauss].T  # (PW, C_al)
     out_t, tfin_t, last_t = rp.forward_tiles(
         payload, binned.starts, binned.counts, cfg.n_tiles_padded, f,
@@ -766,37 +772,30 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
         slab = jnp.pad(slab, ((0, 0), (0, 512)))
         per = rp.reduce_segments(slab, binned.gauss_starts, n)
         per_sorted = per[:, :n].T  # (N, 8 + F)
-        gm2d_s = per_sorted[:, 0:2]
-        gcon_s = per_sorted[:, 2:5]
-        gop_s = per_sorted[:, 5]
-        gfeat_s = per_sorted[:, 6:6 + f]
-        gabs_s = per_sorted[:, 6 + f:8 + f]
     else:
         # Exact f32 path: one segment-sum keyed by the decoded pair ids
         # (dummies land in the dropped N bucket). Measured note: f32
         # re-ordering of the (GW, C_al) slab — gather, scatter, or an
         # UNPACKED 16-row sort — costs 21-50 ms at 2M pairs; the direct
         # scatter-add is the cheapest exact-f32 formulation.
-        per_sorted = jax.ops.segment_sum(
+        ps = jax.ops.segment_sum(
             grads.T, binned.pair_gauss, num_segments=n + 1
         )[:n]  # (N, GW)
-        gm2d_s = per_sorted[:, 0:2]
-        gcon_s = per_sorted[:, 2:5]
-        gop_s = per_sorted[:, 5]
-        gfeat_s = per_sorted[:, 6:6 + f]
-        gabs_s = per_sorted[:, rp.GW - 2:rp.GW]
+        per_sorted = jnp.concatenate(
+            [ps[:, :6 + f], ps[:, rp.GW - 2:rp.GW]], axis=-1
+        )  # (N, 8 + F)
 
-    order = binned.order
-
-    def unsort(g):
-        return jnp.zeros_like(g).at[order].set(g)
+    # Un-permute from depth-sorted back to original Gaussian order with
+    # ONE N-row scatter of the concatenated gradient block (five separate
+    # scatters cost ~1-2 ms each at N=100k on TPU).
+    out = jnp.zeros_like(per_sorted).at[binned.order].set(per_sorted)
 
     return (
-        unsort(gm2d_s),
-        unsort(gcon_s),
-        unsort(gop_s),
-        unsort(gfeat_s),
-        unsort(gabs_s),
+        out[:, 0:2],
+        out[:, 2:5],
+        out[:, 5],
+        out[:, 6:6 + f],
+        out[:, 6 + f:8 + f],
         jnp.zeros((n,), jnp.float32),
         jnp.zeros((n, 2), jnp.float32),
         jnp.zeros((n,), jnp.float32),

@@ -59,16 +59,14 @@ def stage_payload(m):
                           fx, fy, cx, cy, W, H, opacities=opac)
     validf = (p.valid & (alive > 0.5)).astype(jnp.float32)
     b = R.bin_gaussians(cfg, p.means2d, p.depths, p.radii_xy, validf)
-    order = b.order
-    m2d_s = p.means2d[order]; con_s = p.conics[order]
-    opac_s = jnp.where(validf[order] > 0.5, opac[order], 0.0)
     allf = jnp.concatenate([feats, p.depths[:, None]], -1)
-    feat_s = allf[order]
-    f = feat_s.shape[-1]
-    fields = jnp.concatenate([m2d_s, con_s, opac_s[:, None], feat_s,
-                              jnp.zeros((N, rp.PW - 6 - f))], -1)
-    fields = jnp.concatenate([fields, jnp.zeros((1, rp.PW))])
-    payload = fields[b.pair_gauss].T
+    f = allf.shape[-1]
+    opac_masked = jnp.where(validf > 0.5, opac, 0.0)
+    fields = jnp.concatenate([p.means2d, p.conics, opac_masked[:, None],
+                              allf, jnp.zeros((N, rp.PW - 6 - f))], -1)
+    fields_s = fields[b.order]
+    fields_s = jnp.concatenate([fields_s, jnp.zeros((1, rp.PW))])
+    payload = fields_s[b.pair_gauss].T
     return jnp.sum(payload[:, ::997])
 
 def fwd_only(m):

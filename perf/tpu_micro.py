@@ -1,4 +1,6 @@
 """Microbenchmark binning components on TPU."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")

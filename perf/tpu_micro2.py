@@ -1,4 +1,6 @@
 """Microbench: backward reduction chain pieces."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")

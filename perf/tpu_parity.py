@@ -1,4 +1,6 @@
 """On-TPU pallas vs xla parity: forward + gradients at a small config."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, json
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")

@@ -1,4 +1,6 @@
 """Stage-level TPU timing of the rasterizer frame (chained + scalar sync)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, json, sys
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")

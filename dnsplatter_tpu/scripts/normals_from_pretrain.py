@@ -1,13 +1,18 @@
-"""Monocular normal prior generation (offline torch tool, gated).
+"""Monocular normal prior generation (offline tool, gated on weights).
 
 Parity: dn_splatter/scripts/normals_from_pretrain.py — Omnidata DPT-hybrid
 384x384 batched inference (:149-236) writing `normals_from_pretrain/`
-pngs in the omnidata convention the dataparsers expect. The DSINE path
-(:104-148) and the HD patch-merge variant (:238-285) are network-weight
-tools as well; with no egress the checkpoints must be supplied locally.
+pngs in the omnidata convention the dataparsers expect, plus the DSINE
+path (:104-148) and the HD patch-merge variant (:238-285).
 
-The weight-free alternative lives in scripts/normals_from_depth.py
-(`normals_from_depths`, reference :412-505).
+The DSINE backend (`--model-type dsine`) runs the JAX port in
+dnsplatter_tpu/priors/ (encoder+decoder+NRN, oracle-tested against the
+reference torch modules) from an npz produced by
+`python -m dnsplatter_tpu.priors.convert dsine.pt dsine.npz` — no torch
+needed at inference. With no egress the checkpoints must be supplied
+locally. The weight-free alternative lives in
+scripts/normals_from_depth.py (`normals_from_depths`, reference
+:412-505).
 """
 
 from __future__ import annotations
@@ -107,18 +112,53 @@ def run_monocular_normals_hd(image_dir: Path, out_dir: Path,
     return len(images)
 
 
+def run_dsine_normals(image_dir: Path, out_dir: Path, ckpt_path: Path,
+                      intrinsics: np.ndarray | None = None) -> int:
+    """DSINE backend (reference run_monocular_dsine, :104-148): the JAX
+    port (priors/dsine.py) run per image; LUF->RUF flip and [0,1] png
+    encoding match the reference exactly."""
+    from dnsplatter_tpu.data import io
+    from dnsplatter_tpu.priors.dsine import load_params, predict_normals
+
+    if not Path(ckpt_path).exists():
+        raise SystemExit(
+            f"DSINE npz weights not found at {ckpt_path}. Download dsine.pt "
+            "(huggingface camenduru/DSINE) offline and convert once with: "
+            "python -m dnsplatter_tpu.priors.convert dsine.pt dsine.npz"
+        )
+    params = load_params(str(ckpt_path))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    images = sorted(
+        p for p in image_dir.glob("*") if p.suffix in (".png", ".jpg")
+    )
+    for img_path in images:
+        rgb = io.read_image(img_path)
+        rgb_u8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        n = predict_normals(params, rgb_u8, K=intrinsics)  # (H, W, 3) in [-1,1]
+        n = n * np.array([-1.0, 1.0, 1.0])  # LUF -> RUF like the reference
+        io.write_image(out_dir / f"{img_path.stem}.png",
+                       np.clip((n + 1.0) * 0.5, 0, 1))
+    return len(images)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--data", type=Path, required=True)
     p.add_argument("--image-dir", type=Path, default=None)
     p.add_argument("--ckpt", type=Path,
                    default=Path("omnidata_dpt_normal_v2.ckpt"))
+    p.add_argument("--model-type", choices=("omnidata", "dsine"),
+                   default="omnidata")
     p.add_argument("--hd", action="store_true",
                    help="overlapping-patch HD inference + aligned merge")
     args = p.parse_args(argv)
     image_dir = args.image_dir or args.data / "images"
-    run = run_monocular_normals_hd if args.hd else run_monocular_normals
-    n = run(image_dir, args.data / "normals_from_pretrain", args.ckpt)
+    out_dir = args.data / "normals_from_pretrain"
+    if args.model_type == "dsine":
+        n = run_dsine_normals(image_dir, out_dir, args.ckpt)
+    else:
+        run = run_monocular_normals_hd if args.hd else run_monocular_normals
+        n = run(image_dir, out_dir, args.ckpt)
     print(f"wrote {n} normal maps")
 
 

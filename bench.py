@@ -50,8 +50,10 @@ NOMINAL_GSPLAT_MPIX_S = 75.0
 
 N_GAUSS = 100_000
 WIDTH, HEIGHT = 1024, 576
-PAIR_CAPACITY = 1_572_864  # covers the full ~1.41M-pair scene + 11% headroom
-INNER_FRAMES = 24  # frames per dispatch (lax.scan) — amortizes tunnel RTT
+PAIR_CAPACITY = 1_490_944  # covers the full ~1.41M-pair scene + 5.7% headroom
+INNER_FRAMES = 48  # frames per dispatch (lax.scan) — amortizes the ~150 ms
+# big-executable dispatch overhead of the tunnel (real training batches
+# steps per dispatch the same way)
 ITERS = 3  # dispatches
 
 

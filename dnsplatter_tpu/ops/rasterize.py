@@ -760,18 +760,16 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
             for i in range(len(rows) // 2)
         )
         sorted_out = jax.lax.sort((binned.pair_pos,) + packed, num_keys=1)
-        unpacked = []
-        for w in sorted_out[1:]:
-            a, b = _unpack_bf16_2(w)
-            unpacked += [a, b]
-        unpacked = unpacked[:nlive]
-        unpacked += [jnp.abs(unpacked[0]), jnp.abs(unpacked[1])]
-        slab = jnp.stack(unpacked, axis=0)  # (8 + F, C_al)
+        slab = jnp.stack(sorted_out[1:], axis=0)  # (PR, C_al) int32
         # reduce_segments streams `chunk`-wide lane slices; guarantee
         # in-bounds reads past starts[-1] even when total == capacity.
         slab = jnp.pad(slab, ((0, 0), (0, 512)))
-        per = rp.reduce_segments(slab, binned.gauss_starts, n)
-        per_sorted = per[:, :n].T  # (N, 8 + F)
+        # decode + abs happen inside the kernel (exact bf16->f32 via
+        # bits << 16); no XLA unpack/stack pass, half the DMA bytes.
+        per = rp.reduce_segments_packed(slab, binned.gauss_starts, n)
+        fields = per[:nlive]
+        absr = per[-2:]
+        per_sorted = jnp.concatenate([fields, absr], axis=0)[:, :n].T
     else:
         # Exact f32 path: one segment-sum keyed by the decoded pair ids
         # (dummies land in the dropped N bucket). Measured note: f32

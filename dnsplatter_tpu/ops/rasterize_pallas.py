@@ -414,6 +414,129 @@ def reduce_segments(
     return jnp.moveaxis(out, 1, 0).reshape(gw_pad, n_pad)[:gw]
 
 
+def _make_reduce_packed_kernel(pr: int, chunk: int, blk: int):
+    """reduce_segments over bf16-PACKED rows: each int32 lane holds two
+    bf16 fields (hi<<16 | lo); decode in-kernel via the exact bf16->f32
+    promotion `f32 = bitcast(bits << 16)`, append |row0|,|row1| (absgrad)
+    and contract against the range-membership onehot on the MXU."""
+    gw = -(-(2 * pr + 2) // 8) * 8  # Mosaic: 8-aligned sublane counts
+
+    def kernel(starts_sref, grads_hbm, s_ref, e_ref, out_ref, g_vmem, sems):
+        b = pl.program_id(0)
+        g0 = b * blk
+        l0 = pl.multiple_of((starts_sref[g0] // chunk) * chunk, chunk)
+        l1 = starts_sref[g0 + blk]
+        nch = pl.cdiv(jnp.maximum(l1 - l0, 0), chunk)
+
+        s_row = s_ref[0]
+        e_row = e_ref[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+        def dma(slot, j):
+            return pltpu.make_async_copy(
+                grads_hbm.at[:, pl.ds(l0 + j * chunk, chunk)],
+                g_vmem.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(nch > 0)
+        def _():
+            dma(0, 0).start()
+
+        def body(j, acc):
+            slot = j % 2
+
+            @pl.when(j + 1 < nch)
+            def _():
+                dma((j + 1) % 2, j + 1).start()
+
+            dma(slot, j).wait()
+            g = g_vmem[slot]  # (PR, CH) int32
+            hi = jax.lax.bitcast_convert_type(
+                g & jnp.int32(-65536), jnp.float32
+            )
+            lo = jax.lax.bitcast_convert_type(g << 16, jnp.float32)
+            rows = []
+            for i in range(pr):
+                rows += [hi[i:i + 1], lo[i:i + 1]]
+            rows += [jnp.abs(rows[0]), jnp.abs(rows[1])]
+            while len(rows) < gw:
+                rows.append(jnp.zeros_like(rows[0]))
+            vals = jnp.concatenate(rows, axis=0)  # (GW, CH)
+            p = l0 + j * chunk + lane
+            onehot = ((p >= s_row) & (p < e_row)).astype(jnp.float32)
+            return acc + jnp.dot(
+                vals, onehot, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        acc = jax.lax.fori_loop(
+            0, nch, body, jnp.zeros((gw, blk), jnp.float32)
+        )
+        out_ref[0] = acc
+
+    return kernel
+
+
+def reduce_segments_packed(
+    packed: jax.Array,  # (PR, C) int32, PRE-SORT pair order, 2 bf16/lane
+    gauss_starts: jax.Array,  # (N + 1,) contiguous per-Gaussian ranges
+    n: int,
+    chunk: int = 512,
+    blk: int = 128,
+) -> jax.Array:
+    """Per-Gaussian sums over contiguous ranges of the PACKED slab,
+    decoding in-kernel (no XLA unpack/stack pass, half the DMA bytes of
+    the f32 variant). Returns (2*PR + 2, N_pad): the 2*PR decoded field
+    rows followed by |field0|, |field1| (absgrad). Requires `packed` to
+    extend >= chunk lanes past starts[-1]."""
+    pr = packed.shape[0]
+    pr_pad = -(-pr // 8) * 8
+    if pr_pad != pr:
+        packed = jnp.pad(packed, ((0, pr_pad - pr), (0, 0)))
+    gw = -(-(2 * pr_pad + 2) // 8) * 8
+    n_pad = -(-n // blk) * blk
+    starts_p = jnp.concatenate([
+        gauss_starts,
+        jnp.full((n_pad + 1 - gauss_starts.shape[0],), gauss_starts[-1],
+                 jnp.int32),
+    ])
+    s_blocks = starts_p[:n_pad].reshape(-1, 1, blk)
+    e_blocks = starts_p[1:n_pad + 1].reshape(-1, 1, blk)
+    kernel = _make_reduce_packed_kernel(pr_pad, chunk, blk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pad // blk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, blk), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, blk), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, gw, blk), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, pr_pad, chunk), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_pad // blk, gw, blk),
+                                        jnp.float32)],
+        interpret=_interpret(),
+    )(starts_p, packed, s_blocks, e_blocks)
+    res = jnp.moveaxis(out, 1, 0).reshape(gw, n_pad)
+    # decoded fields live in rows [0, 2*pr); abs rows at [2*pr_pad, +2)
+    return jnp.concatenate(
+        [res[:2 * pr], res[2 * pr_pad:2 * pr_pad + 2]], axis=0
+    )
+
+
 def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
     p = tile * tile
 

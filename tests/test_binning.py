@@ -136,3 +136,38 @@ def test_reduce_segments_matches_numpy():
     for g in range(n):
         expect[:, g] = grads[:, starts[g]:starts[g + 1]].sum(1)
     np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_reduce_segments_packed_matches_f32():
+    """Packed-bf16 variant: in-kernel decode (bits << 16) + abs rows must
+    match packing+unpacking through the f32 kernel exactly."""
+    from dnsplatter_tpu.ops.rasterize import _pack_bf16_2, _unpack_bf16_2
+    from dnsplatter_tpu.ops.rasterize_pallas import reduce_segments_packed
+
+    rng = np.random.default_rng(7)
+    n = 200
+    counts = rng.integers(0, 9, n)
+    starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    c = int(counts.sum()) + 700
+    fields = rng.normal(size=(14, c)).astype(np.float32) * 3.0
+    packed = jnp.stack(
+        [_pack_bf16_2(jnp.asarray(fields[2 * i]), jnp.asarray(fields[2 * i + 1]))
+         for i in range(7)], axis=0)
+    # roundtrip: unpack reproduces the bf16-rounded fields bit-exactly
+    a0, b0 = _unpack_bf16_2(packed[0])
+    np.testing.assert_array_equal(
+        np.asarray(a0), fields[0].astype(jnp.bfloat16).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(b0), fields[1].astype(jnp.bfloat16).astype(np.float32))
+
+    out = np.asarray(reduce_segments_packed(
+        packed, jnp.asarray(starts), n, chunk=128, blk=32))[:, :n]
+    assert out.shape[0] == 16  # 14 fields + 2 abs rows
+    fb = fields.astype(jnp.bfloat16).astype(np.float32)
+    expect = np.zeros((16, n), np.float32)
+    for g in range(n):
+        seg = fb[:, starts[g]:starts[g + 1]]
+        expect[:14, g] = seg.sum(1)
+        expect[14, g] = np.abs(seg[0]).sum()
+        expect[15, g] = np.abs(seg[1]).sum()
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)

@@ -738,50 +738,35 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
     g_out_t = jnp.transpose(_image_to_tiles(cfg, g_image), (0, 2, 1))
     g_alpha_t = jnp.transpose(_image_to_tiles(cfg, g_alpha), (0, 2, 1))
 
+    pack_grads = cfg.grad_reduce == "sortpack"
     grads, nch = rp.backward_tiles(
         payload, binned.starts, binned.counts, g_out_t, g_alpha_t,
         tfin_t, last_t,
         cfg.n_tiles_padded, f, cfg.tile_size, cfg.tiles_x, cfg.chunk,
-    )  # (GW, C_al) field-major + per-tile replayed chunk counts
-    c_al = grads.shape[1]
-    # Slots past each tile's replayed depth (and the alignment tail) hold
-    # stale memory; build the per-slot write limit by propagating each
-    # tile's `starts[t] + nch[t]*chunk` boundary with the same
-    # delta-scatter + cumsum trick used in binning, then select.
-    limit = binned.starts[:-1] + nch * cfg.chunk
-    ldiff = jnp.concatenate([limit[:1], limit[1:] - limit[:-1]])
-    lscat = jnp.zeros((c_al,), jnp.int32).at[binned.starts[:-1]].add(
-        ldiff, mode="drop"
-    )
-    if c_al < (1 << 24):
-        limit_slot = rp.cumsum_lanes_i32(lscat[None, :])[0]
-    else:
-        limit_slot = jnp.cumsum(lscat)
-    written = jnp.arange(c_al, dtype=jnp.int32) < limit_slot
-    grads = jnp.where(written[None, :], grads, 0.0)
+        pack_grads=pack_grads,
+    )  # field-major per-pair grads + per-tile replayed chunk counts
+    del nch  # diagnostics only: unwritten slab columns are zeros (aliased)
 
-    if cfg.grad_reduce == "sortpack":
+    if pack_grads:
         # Per-Gaussian reduction via ONE variadic sort into pre-sort pair
-        # order + the MXU reduce_segments kernel. The 6 + F live gradient
-        # rows are rounded to bf16 and packed two-per-int32 lane, so the
-        # sort carries ceil((6+F)/2) value rows instead of 16 f32 rows —
-        # measured 13.5 ms total vs 31 ms for the direct segment-sum at
-        # 1.9M pairs (perf/tpu_micro5.py). Keys are the pre-sort pair
-        # positions (unique in [0, total); dummies carry the sentinel C),
-        # so sorted position j holds EXACTLY the pair with pair_pos == j
-        # and binned.gauss_starts delimits each Gaussian's contiguous
-        # range. Stale slots keep their real key with zeroed values.
-        # |dmx|,|dmy| (absgrad) are recomputed from the sorted rows, so
-        # they do not ride the sort.
-        rows = [grads[i] for i in range(6)] + [grads[6 + i] for i in range(f)]
-        nlive = len(rows)
-        if nlive % 2:
-            rows.append(jnp.zeros_like(rows[0]))
-        packed = tuple(
-            _pack_bf16_2(rows[2 * i], rows[2 * i + 1])
-            for i in range(len(rows) // 2)
+        # order + the MXU reduce_segments_packed kernel. The backward
+        # kernel already emitted the 6 + F live gradient rows bf16-packed
+        # two-per-int32 lane (in-kernel RNE), so the sort carries
+        # ceil((6+F)/2) int32 rows instead of 16 f32 rows — measured
+        # 13.5 ms total vs 31 ms for the direct segment-sum at 1.9M pairs
+        # (perf/tpu_micro5.py). Keys are the pre-sort pair positions
+        # (unique in [0, total); dummies carry the sentinel C), so sorted
+        # position j holds EXACTLY the pair with pair_pos == j and
+        # binned.gauss_starts delimits each Gaussian's contiguous range.
+        # Unreplayed slots keep their real key with exact-zero values
+        # (the slab aliases a zero-filled buffer). |dmx|,|dmy| (absgrad)
+        # are derived in the reduce kernel, not sorted.
+        nlive = 6 + f
+        rows_used = (nlive + 1) // 2
+        sorted_out = jax.lax.sort(
+            (binned.pair_pos,) + tuple(grads[i] for i in range(rows_used)),
+            num_keys=1,
         )
-        sorted_out = jax.lax.sort((binned.pair_pos,) + packed, num_keys=1)
         slab = jnp.stack(sorted_out[1:], axis=0)  # (PR, C_al) int32
         # reduce_segments streams `chunk`-wide lane slices; guarantee
         # in-bounds reads past starts[-1] even when total == capacity.

@@ -537,12 +537,24 @@ def reduce_segments_packed(
     )
 
 
-def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
+def _rne_bf16_bits(x: jax.Array) -> jax.Array:
+    """Round-to-nearest-even f32 -> bf16 bit pattern in the LOW 16 bits of
+    an int32 (sign-extended garbage above — callers mask/shift). Pure
+    32-bit integer arithmetic (Mosaic-safe, no 16-bit types); matches
+    XLA's f32->bf16 convert for all finite inputs."""
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return (b + 0x7FFF + ((b >> 16) & 1)) >> 16
+
+
+def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
+                     pack_grads: bool):
     p = tile * tile
+    pr = (6 + n_feats + 1) // 2  # packed int32 rows
 
     def kernel(starts_ref, counts_ref, payload_hbm, g_out_ref, g_alpha_ref,
-               tfin_ref, last_ref, grad_hbm, nch_ref, pay_vmem, grad_vmem,
-               sems, gsem):
+               tfin_ref, last_ref, zslab_hbm, grad_hbm, nch_ref, pay_vmem,
+               grad_vmem, sems, gsem):
+        del zslab_hbm  # aliased zero-filled buffer == grad_hbm
         t = pl.program_id(0)
         start = pl.multiple_of(starts_ref[t], k)
         cnt = counts_ref[t]
@@ -577,10 +589,11 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
         # The replay only needs chunks up to the deepest contributor
         # recorded by the forward pass: chunks past max(last) have
         # alpha_eff == 0 everywhere (they neither move t_back/sacc nor
-        # produce gradients). Their slabs are left UNWRITTEN — the caller
-        # masks them out with the per-tile depth reported via nch_ref
-        # (serial zero-fill DMAs cost ~15 ms/frame; a fused XLA select is
-        # free).
+        # produce gradients). Their slabs are left UNWRITTEN — the output
+        # buffer is aliased to a zero-filled input (one 0.07 ms memset on
+        # the XLA side), so skipped columns read back as exact zeros
+        # (in-kernel serial zero-fill DMAs cost ~15 ms/frame; a separate
+        # XLA write-limit mask pass cost ~0.5 ms).
         nch_eff = jnp.maximum((jnp.max(last) + k) // k, 0)
         nch_ref[0] = jnp.full((1, 128), nch_eff, jnp.int32)
 
@@ -648,17 +661,30 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
             # dL/dfeat[c,k] = sum_p g_out[c,p] w[p,k]
             g_feat = jnp.dot(g_out, w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
-            grad_vmem[0:1] = g_mx
-            grad_vmem[1:2] = g_my
-            grad_vmem[2:3] = g_a
-            grad_vmem[3:4] = g_b
-            grad_vmem[4:5] = g_c
-            grad_vmem[5:6] = g_op
-            grad_vmem[6:6 + n_feats] = g_feat
-            for z in range(6 + n_feats, GW - 2):
-                grad_vmem[z:z + 1] = jnp.zeros((1, k), jnp.float32)
-            grad_vmem[GW - 2:GW - 1] = jnp.abs(g_mx)
-            grad_vmem[GW - 1:GW] = jnp.abs(g_my)
+            rows = [g_mx, g_my, g_a, g_b, g_c, g_op] + [
+                g_feat[i:i + 1] for i in range(n_feats)
+            ]
+            if pack_grads:
+                # Emit the slab already bf16-packed (2 fields / int32
+                # lane) — the reduction sort carries these rows directly
+                # and reduce_segments_packed decodes in-kernel; no XLA
+                # pack pass, half the slab bytes. RNE here == the XLA
+                # astype(bfloat16) the unpacked path uses.
+                if len(rows) % 2:
+                    rows.append(jnp.zeros((1, k), jnp.float32))
+                for i in range(len(rows) // 2):
+                    hi = _rne_bf16_bits(rows[2 * i])
+                    lo = _rne_bf16_bits(rows[2 * i + 1])
+                    grad_vmem[i:i + 1] = (hi << 16) | (lo & 0xFFFF)
+                for z in range(len(rows) // 2, 8):
+                    grad_vmem[z:z + 1] = jnp.zeros((1, k), jnp.int32)
+            else:
+                for i, r in enumerate(rows):
+                    grad_vmem[i:i + 1] = r
+                for z in range(6 + n_feats, GW - 2):
+                    grad_vmem[z:z + 1] = jnp.zeros((1, k), jnp.float32)
+                grad_vmem[GW - 2:GW - 1] = jnp.abs(g_mx)
+                grad_vmem[GW - 1:GW] = jnp.abs(g_my)
 
             copy = pltpu.make_async_copy(
                 grad_vmem,
@@ -691,13 +717,21 @@ def backward_tiles(
     tile: int,
     tiles_x: int,
     chunk: int,
+    pack_grads: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (per-pair gradients (16, C_al), per-tile replayed chunk
-    counts (T,)). Columns of pairs past a tile's replayed depth (and of
-    the alignment tail) hold stale memory — mask with the replay counts
-    before reducing."""
+    """Returns (per-pair gradients, per-tile replayed chunk counts (T,)).
+    With pack_grads=False the slab is (GW=16, C_al) f32 with absgrad rows
+    at the end; with pack_grads=True it is (8, C_al) int32 of bf16 pairs
+    in field order [mx,my|a,b|c,op|f0,f1|...] (no abs rows — the packed
+    reducer derives them). Columns past a tile's replayed depth (and the
+    alignment tail) are EXACT ZEROS: the slab output aliases a
+    zero-initialized input buffer."""
     p = tile * tile
-    kernel = _make_bwd_kernel(n_feats, chunk, tile, tiles_x)
+    kernel = _make_bwd_kernel(n_feats, chunk, tile, tiles_x, pack_grads)
+    if pack_grads:
+        zslab = jnp.zeros((8, payload.shape[1]), jnp.int32)
+    else:
+        zslab = jnp.zeros((GW, payload.shape[1]), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -711,6 +745,7 @@ def backward_tiles(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, p), lambda t, s1, s2: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # zero slab (aliased)
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -719,7 +754,8 @@ def backward_tiles(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, PW, chunk), jnp.float32),
-            pltpu.VMEM((GW, chunk), jnp.float32),
+            pltpu.VMEM((8, chunk), jnp.int32) if pack_grads
+            else pltpu.VMEM((GW, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -728,11 +764,14 @@ def backward_tiles(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((GW, payload.shape[1]), jnp.float32),
+            jax.ShapeDtypeStruct(zslab.shape, zslab.dtype),
             jax.ShapeDtypeStruct((n_tiles, 1, 128), jnp.int32),
         ],
+        # input 7 (after the 2 scalar-prefetch args: starts, counts, then
+        # payload, g_out, g_alpha, tfin, last, zslab) -> output 0.
+        input_output_aliases={7: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
     )(tile_starts, tile_counts, payload, g_out_tiles, g_alpha_tiles,
-      tfin_tiles, last_tiles)
+      tfin_tiles, last_tiles, zslab)
     return grads, nch[:, 0, 0]

@@ -171,3 +171,28 @@ def test_reduce_segments_packed_matches_f32():
         expect[14, g] = np.abs(seg[0]).sum()
         expect[15, g] = np.abs(seg[1]).sum()
     np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_rne_bf16_bits_matches_astype():
+    """The in-kernel integer RNE (bits + 0x7FFF + lsb) must equal XLA's
+    f32->bf16 convert bit-for-bit on finite values, including negatives,
+    denormals, halfway ties, and huge magnitudes."""
+    from dnsplatter_tpu.ops.rasterize_pallas import _rne_bf16_bits
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.normal(size=1000).astype(np.float32) * 10.0 ** rng.integers(
+            -30, 30, 1000),
+        np.array([0.0, -0.0, 1.0, -1.0, 1e-40, -1e-40, 3.3895e38,
+                  -3.3895e38], np.float32),
+        # exact ties: f32 values exactly halfway between two bf16s
+        np.frombuffer(
+            (np.arange(32, dtype=np.uint32) * 0x10000 + 0x3f808000
+             ).astype(np.uint32).tobytes(), dtype=np.float32),
+    ])
+    got = np.asarray(_rne_bf16_bits(jnp.asarray(vals))).astype(np.int32)
+    expect = np.frombuffer(
+        np.asarray(jnp.asarray(vals).astype(jnp.bfloat16)).tobytes(),
+        dtype=np.uint16,
+    ).astype(np.int32)
+    np.testing.assert_array_equal(got & 0xFFFF, expect)

@@ -247,14 +247,9 @@ def bin_gaussians(
 
     # --- stage 3: expansion + dummy injection + one sort ---
     # Per-pair fields [gauss, offset, bbox w, packed x0/y0] materialize as
-    # piecewise-constant sequences over the pair axis: scatter each
-    # Gaussian's VALUE DELTA at its range start, then cumulative-sum.
-    # One (N, 4) scatter + one (C, 4) cumsum — TPU gathers at C scale run
-    # ~4 ms/M rows, so the old repeat + table-gather formulation cost
-    # ~40 ms/frame at 2M pairs; this runs in a few ms. Duplicate range
-    # starts (zero-count Gaussians) telescope correctly, and fully
-    # dropped tails scatter out of bounds (mode="drop").
-    gauss_starts = jnp.concatenate([offsets, total[None]]).astype(jnp.int32)
+    # piecewise-constant sequences over the pair axis (TPU gathers at C
+    # scale run ~4 ms/M rows, so the old repeat + table-gather
+    # formulation cost ~40 ms/frame at 2M pairs).
     spatial_perm = jnp.arange(n, dtype=jnp.int32)
 
     pos = jnp.arange(c, dtype=jnp.int32)
@@ -264,16 +259,30 @@ def bin_gaussians(
         [jnp.arange(n, dtype=jnp.int32), offsets, jnp.maximum(w, 1), xy],
         axis=0,
     )  # (4, N) field-major
-    diffs = jnp.concatenate([vals[:, :1], vals[:, 1:] - vals[:, :-1]], axis=1)
-    table = jnp.zeros((4, c), jnp.int32).at[:, offsets].add(diffs, mode="drop")
-    if cfg.backend == "pallas" and c < (1 << 24):
-        # Exact MXU prefix sweep (bandwidth-bound) — XLA's multi-pass
-        # int32 scan over the 25 MB table costs ~4 ms at 1.6M pairs.
+    gauss_starts = jnp.concatenate([offsets, total[None]]).astype(jnp.int32)
+    if cfg.backend == "pallas" and c < (1 << 24) and n <= (1 << 18):
+        # Per-pair fields via the expand_segments kernel: VMEM-resident
+        # value/boundary tables + 128-Gaussian membership-window matmuls
+        # per output chunk — replaces the XLA delta-scatter (+ prefix
+        # sweep) whose 100k-row scatter serializes (~2.6 ms total at
+        # 1.6M pairs). Dead lanes (pos >= total) read zeros; they are
+        # overridden by the sentinel key below.
         from dnsplatter_tpu.ops import rasterize_pallas as rp
 
-        acc = rp.cumsum_lanes_i32(table)
+        acc = rp.expand_segments(vals, gauss_starts, c)
     else:
-        acc = jnp.cumsum(table, axis=1)
+        diffs = jnp.concatenate(
+            [vals[:, :1], vals[:, 1:] - vals[:, :-1]], axis=1
+        )
+        table = jnp.zeros((4, c), jnp.int32).at[:, offsets].add(
+            diffs, mode="drop"
+        )
+        if cfg.backend == "pallas" and c < (1 << 24):
+            from dnsplatter_tpu.ops import rasterize_pallas as rp
+
+            acc = rp.cumsum_lanes_i32(table)
+        else:
+            acc = jnp.cumsum(table, axis=1)
     pair_gauss0 = acc[0]
     rank = pos - acc[1]
     wg = jnp.maximum(acc[2], 1)

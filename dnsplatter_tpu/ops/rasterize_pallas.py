@@ -134,6 +134,103 @@ def cumsum_lanes_i32(x: jax.Array, chunk: int = 512) -> jax.Array:
     return out[:, :c]
 
 
+def _make_expand_kernel(r: int, ch: int, n_pad: int, win: int):
+    def kernel(base_sref, nwin_sref, vals_hbm, s_hbm, e_hbm, out_ref,
+               vals_vmem, s_vmem, e_vmem, sems):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            for src, dst, k in ((vals_hbm, vals_vmem, 0), (s_hbm, s_vmem, 1),
+                                (e_hbm, e_vmem, 2)):
+                cp = pltpu.make_async_copy(src, dst, sems.at[k])
+                cp.start()
+                cp.wait()
+
+        p0 = j * ch
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1) + p0
+        base = base_sref[j]
+        nw = nwin_sref[j]
+
+        def body(wi, acc):
+            b = pl.multiple_of(base + wi * win, win)
+            s_row = s_vmem[0:1, pl.ds(b, win)]  # (1, WIN)
+            e_row = e_vmem[0:1, pl.ds(b, win)]
+            s_col = s_row.reshape(win, 1)
+            e_col = e_row.reshape(win, 1)
+            onehot = ((s_col <= lane) & (lane < e_col)).astype(jnp.float32)
+            vw = vals_vmem[:, pl.ds(b, win)]  # (R, WIN)
+            return acc + jax.lax.dot_general(
+                vw, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        acc = jax.lax.fori_loop(
+            0, nw, body, jnp.zeros((r, ch), jnp.float32)
+        )
+        out_ref[...] = acc.astype(jnp.int32)
+
+    return kernel
+
+
+def expand_segments(
+    vals: jax.Array,  # (R, N) int32, |values| < 2^24
+    starts: jax.Array,  # (N + 1,) int32 ascending segment boundaries
+    out_len: int,
+    chunk: int = 2048,
+    win: int = 128,
+) -> jax.Array:
+    """Piecewise-constant expansion: out[:, p] = vals[:, g] for
+    starts[g] <= p < starts[g+1] — the transpose of reduce_segments.
+
+    Replaces the XLA delta-scatter + prefix-sum construction of per-pair
+    fields (~2.6 ms at 1.6M pairs / 100k Gaussians): the whole value and
+    boundary tables stay VMEM-resident (one DMA each), and every output
+    chunk contracts 128-Gaussian membership windows on the MXU. The
+    per-chunk window list comes from a host-free XLA searchsorted.
+    Positions >= starts[-1] produce zeros. Exact for |vals| < 2^24
+    (f32 integer matmul).
+    """
+    r, n = vals.shape
+    n_pad = -(-(n + 1) // win) * win + win
+    cp = -(-out_len // chunk) * chunk
+    nchunks = cp // chunk
+    vals_p = jnp.pad(vals, ((0, 0), (0, n_pad - n))).astype(jnp.float32)
+    big = jnp.int32(2147483647)
+    s_p = jnp.concatenate([starts[:-1], jnp.full((n_pad - n,), big)])
+    e_p = jnp.concatenate([starts[1:], jnp.full((n_pad - n,), big)])
+    bounds = jnp.arange(nchunks + 1, dtype=jnp.int32) * chunk
+    # first segment whose END is past the chunk start (may cover it):
+    glo = jnp.searchsorted(e_p[:n], bounds[:-1], side="right").astype(jnp.int32)
+    # first segment whose START is at/after the chunk end:
+    ghi = jnp.searchsorted(s_p[:n], bounds[1:], side="left").astype(jnp.int32)
+    base = (glo // win) * win
+    nwin = jnp.maximum(-(-(jnp.maximum(ghi - base, 0)) // win), 0)
+    out = pl.pallas_call(
+        _make_expand_kernel(r, chunk, n_pad, win),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nchunks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[pl.BlockSpec((r, chunk), lambda j, s1, s2: (0, j))],
+            scratch_shapes=[
+                pltpu.VMEM((r, n_pad), jnp.float32),
+                pltpu.VMEM((1, n_pad), jnp.int32),
+                pltpu.VMEM((1, n_pad), jnp.int32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((r, cp), jnp.int32)],
+        interpret=_interpret(),
+    )(base, nwin, vals_p, s_p[None, :], e_p[None, :])[0]
+    return out[:, :out_len]
+
+
 def _chunk_geometry(pay, px, py, jj, cnt):
     """Shared alpha computation: returns (alpha, hit, dx, dy, sigma, consts)."""
     mx = pay[0:1, :]

@@ -196,3 +196,22 @@ def test_rne_bf16_bits_matches_astype():
         dtype=np.uint16,
     ).astype(np.int32)
     np.testing.assert_array_equal(got & 0xFFFF, expect)
+
+
+def test_expand_segments_matches_numpy():
+    from dnsplatter_tpu.ops.rasterize_pallas import expand_segments
+
+    rng = np.random.default_rng(13)
+    n = 500
+    counts = rng.integers(0, 7, n)
+    counts[rng.integers(0, n, 50)] = 0  # empty-segment runs
+    starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    total = int(starts[-1])
+    out_len = total + 300  # tail past starts[-1] must be zeros
+    vals = rng.integers(-(1 << 20), 1 << 20, (4, n)).astype(np.int32)
+    out = np.asarray(expand_segments(
+        jnp.asarray(vals), jnp.asarray(starts), out_len, chunk=256, win=32))
+    expect = np.zeros((4, out_len), np.int32)
+    for g in range(n):
+        expect[:, starts[g]:starts[g + 1]] = vals[:, g:g + 1]
+    np.testing.assert_array_equal(out, expect)

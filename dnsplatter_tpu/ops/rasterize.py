@@ -10,16 +10,16 @@ TPU execution model instead of translated:
     computed with triangular-matrix matmuls (MXU), and the feature
     accumulation is a (K, F)^T @ (K, P) matmul.
   * No dynamic shapes, and ONE sort builds the kernel-ready layout: the
-    (tile, gaussian) intersection list is emitted directly in the
-    chunk-aligned CSR layout by a single key sort. Per-tile pair counts
-    are known *before* expansion from a corner-trick 2D histogram
-    (O(N) scatter + 2D cumsum over the tile grid), so each tile's range
-    can be padded to a multiple of `chunk` by injecting dummy keys — no
-    post-sort re-alignment pass, no searchsorted, no gather of sorted
-    values: the sort key packs `tile * (N+1) + gauss`, so the sorted keys
-    THEMSELVES decode to the per-pair gaussian indices (within a tile,
-    gaussian index order IS front-to-back depth order, because gaussians
-    are globally depth-sorted before expansion).
+    (tile, gaussian) intersection list is emitted as a DENSE CSR by a
+    single key sort — no searchsorted, no gather of sorted values: the
+    sort key packs `tile * (N+1) + gauss`, so the sorted keys THEMSELVES
+    decode to the per-pair gaussian indices (within a tile, gaussian
+    index order IS front-to-back depth order, because gaussians are
+    globally depth-sorted before expansion). Tile ranges are NOT padded
+    to the DMA chunk: the Pallas kernels window each tile's range down
+    to the preceding 128-lane boundary and mask the head (Mosaic needs
+    128-aligned dynamic lane slices), which keeps ~tiles*(chunk-1)/2
+    alignment dummies out of every sort, gather, and slab.
   * The per-pair payload and per-pair gradients live in pair-major
     (C, 16) layouts: one row gather builds the payload (no transpose);
     the Pallas kernels compute in a (K, P) orientation so geometry fields
@@ -106,25 +106,30 @@ class RasterizeConfig(NamedTuple):
         return self.n_blocks * self.tile_block
 
     @property
-    def pair_capacity_aligned(self) -> int:
-        """Total slots of the chunk-aligned pair layout: every tile's
-        range rounds up to the chunk, worst case +(chunk-1) dummies/tile."""
-        return self.pair_capacity + self.n_tiles_padded * (self.chunk - 1)
+    def pair_buffer(self) -> int:
+        """Length of the emitted pair arrays: `pair_capacity` dense slots
+        plus one chunk of sentinel tail so the kernels' head-aligned DMA
+        windows (which can overrun a tile's end by < chunk) stay in
+        bounds."""
+        return self.pair_capacity + self.chunk
 
 
 class _Binned(NamedTuple):
-    """Depth-sorted Gaussians + chunk-aligned tile intersection structure.
+    """Depth-sorted Gaussians + dense CSR tile intersection structure.
 
-    The pair list is ALREADY in the kernel-ready aligned CSR layout:
-    tile t's pairs occupy slots [starts[t], starts[t] + counts[t]) in
-    front-to-back depth order, and starts[t] is a multiple of `chunk`.
+    The pair list is the kernel-ready DENSE CSR layout: tile t's pairs
+    occupy slots [starts[t], starts[t+1]) == [starts[t], starts[t] +
+    counts[t]) in front-to-back depth order, gap-free (starts are NOT
+    chunk-aligned — the Pallas kernels handle head alignment). Dead
+    slots live past starts[-1]; one sentinel `chunk` tail keeps kernel
+    DMA windows in bounds.
     """
 
     order: jax.Array  # (N,) depth sort permutation: sorted[i] = orig[order[i]]
-    pair_gauss: jax.Array  # (C_al,) depth-sorted gaussian index; == N => dummy
-    pair_pos: jax.Array  # (C_al,) pre-sort pair position; == C => dead slot
-    starts: jax.Array  # (T_padded + 1,) chunk-aligned range starts per tile
-    counts: jax.Array  # (T_padded,) REAL per-tile pair counts
+    pair_gauss: jax.Array  # (C + chunk,) depth-sorted gaussian idx; == N => dead
+    pair_pos: jax.Array  # (C + chunk,) pre-sort pair position; == C => dead slot
+    starts: jax.Array  # (T_padded + 1,) dense range starts per tile
+    counts: jax.Array  # (T_padded,) per-tile pair counts (== diff(starts))
     gauss_starts: jax.Array  # (N + 1,) per-Gaussian pre-sort pair ranges
     spatial_perm: jax.Array  # (N,) grouping order of gauss_starts (identity)
     total_pairs: jax.Array  # () int32 — raw total (overflow diagnostic)
@@ -145,25 +150,28 @@ def bin_gaussians(
     radii: jax.Array,
     validf: jax.Array,
 ) -> _Binned:
-    """Global depth sort + chunk-aligned tile pair list in ONE sort.
+    """Global depth sort + dense CSR tile pair list in ONE sort.
 
     Stages (all static shapes):
       1. depth argsort; per-Gaussian tile bbox + pair counts; Gaussians
          whose pair range does not fit `pair_capacity` drop whole
          (deepest first — graceful degradation under overflow).
-      2. per-TILE pair counts WITHOUT expansion: +1/-1 corner scatter
-         into a (tiles_y+1, tiles_x+1) grid, 2D cumulative sum (the
-         classic summed-area trick) — this is what lets us compute the
-         aligned layout before sorting.
-      3. expansion to per-pair keys `tile * (N+1) + gauss`; per-tile
-         alignment gaps are filled by dummy keys `tile * (N+1) + N`;
-         one flat int32 sort then yields the aligned layout directly and
+      2. per-TILE pair counts WITHOUT expansion: a separable
+         interval-membership matmul over the tile grid (corner-scatter
+         summed-area fallback) — `starts` is its exclusive cumsum.
+      3. expansion to per-pair keys `tile * (N+1) + gauss`; one flat
+         int32 sort then yields the dense CSR directly and
          `sorted_key % (N+1)` decodes the per-pair gaussian index.
+         Dead lanes (pos >= total) carry the sentinel key and land past
+         starts[-1]; a sentinel `chunk` tail is appended post-sort for
+         kernel DMA overrun room.
     """
     n = means2d.shape[0]
     ts = cfg.tile_size
     k = cfg.chunk
     c = cfg.pair_capacity
+    # the backward's staged head-window merge indexes chunk-wide windows
+    assert c % k == 0, "pair_capacity must be a multiple of chunk"
     t_pad = cfg.n_tiles_padded
     valid = validf > 0.5
 
@@ -240,12 +248,12 @@ def bin_gaussians(
         tile_counts = jnp.concatenate(
             [tile_counts, jnp.zeros((t_pad - cfg.n_tiles,), jnp.int32)]
         )
-    padded = -(-tile_counts // k) * k
     starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(tile_counts).astype(jnp.int32)]
     )
 
-    # --- stage 3: expansion + dummy injection + one sort ---
+    # --- stage 3: expansion + one sort ---
     # Per-pair fields [gauss, offset, bbox w, packed x0/y0] materialize as
     # piecewise-constant sequences over the pair axis (TPU gathers at C
     # scale run ~4 ms/M rows, so the old repeat + table-gather
@@ -293,45 +301,33 @@ def bin_gaussians(
     tile_id = jnp.clip(tile_id, 0, t_pad)  # dead-lane overflow insurance
 
     big = n + 1
-    d = t_pad * (k - 1)
-    c_al = cfg.pair_capacity_aligned
-    assert c_al == c + d
-
-    n_dummy = padded - tile_counts  # (T_pad,) in [0, k-1]
-    # `repeat` pads with its LAST element: append a sentinel absorb entry
-    # so unused dummy slots get the sentinel tile, not a real one.
-    dummy_tiles = jnp.repeat(
-        jnp.concatenate([jnp.arange(t_pad, dtype=jnp.int32),
-                         jnp.full((1,), t_pad, jnp.int32)]),
-        jnp.concatenate([n_dummy,
-                         jnp.maximum(d - jnp.sum(n_dummy), 0)[None]]),
-        total_repeat_length=d,
-    ) if d > 0 else jnp.zeros((0,), jnp.int32)
 
     # The sort also carries each pair's spatial-grouped position (dead
     # slots get the sentinel C): the backward pass re-orders per-pair
     # gradients into that order, where every Gaussian's pairs are
     # contiguous — the gradient reduction becomes a segmented sum over
     # contiguous ranges instead of a 2M-row scatter-add.
-    qv = jnp.concatenate([
-        jnp.where(live, q_spatial, c), jnp.full((d,), c, jnp.int32)
-    ])
+    qv = jnp.where(live, q_spatial, c)
     if (t_pad + 1) * big <= jnp.iinfo(jnp.int32).max:
         sentinel = jnp.int32(t_pad * big + n)
         key_real = jnp.where(live, tile_id * big + pair_gauss0, sentinel)
-        key_dummy = jnp.minimum(dummy_tiles * big + n, sentinel)
-        keys, pair_pos = jax.lax.sort(
-            (jnp.concatenate([key_real, key_dummy]), qv), num_keys=1
-        )
+        keys, pair_pos = jax.lax.sort((key_real, qv), num_keys=1)
         pair_gauss = (keys % big).astype(jnp.int32)
     else:
         # Large-N fallback: lexicographic 2-key sort (tile, gauss) — the
         # packed key would overflow int32 and x64 is disabled.
         tile_key = jnp.where(live, tile_id, t_pad)
         gauss_key = jnp.where(live, pair_gauss0, n)
-        tk = jnp.concatenate([tile_key, dummy_tiles])
-        gk = jnp.concatenate([gauss_key, jnp.full((d,), n, jnp.int32)])
-        _, pair_gauss, pair_pos = jax.lax.sort((tk, gk, qv), num_keys=2)
+        _, pair_gauss, pair_pos = jax.lax.sort(
+            (tile_key, gauss_key, qv), num_keys=2
+        )
+
+    # Sentinel chunk tail: kernel DMA windows start at the preceding
+    # 128-lane boundary and may overrun a tile's end by < chunk lanes.
+    pair_gauss = jnp.concatenate(
+        [pair_gauss, jnp.full((k,), n, jnp.int32)]
+    )
+    pair_pos = jnp.concatenate([pair_pos, jnp.full((k,), c, jnp.int32)])
 
     return _Binned(
         order=order,
@@ -748,13 +744,27 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
     g_alpha_t = jnp.transpose(_image_to_tiles(cfg, g_alpha), (0, 2, 1))
 
     pack_grads = cfg.grad_reduce == "sortpack"
-    grads, nch = rp.backward_tiles(
+    grads, stage, nch = rp.backward_tiles(
         payload, binned.starts, binned.counts, g_out_t, g_alpha_t,
         tfin_t, last_t,
         cfg.n_tiles_padded, f, cfg.tile_size, cfg.tiles_x, cfg.chunk,
         pack_grads=pack_grads,
-    )  # field-major per-pair grads + per-tile replayed chunk counts
+    )  # field-major per-pair grads + staged head windows + chunk counts
     del nch  # diagnostics only: unwritten slab columns are zeros (aliased)
+
+    # Dense CSR: merge each tile's staged head window into the slab at
+    # window starts[t] // chunk. At any lane at most one contributor is
+    # nonzero (owned lanes are disjoint; the slab holds zeros under every
+    # staged lane), so a scatter-ADD is exact — including on the
+    # bf16-packed int32 rows, where add degenerates to select-nonzero.
+    k = cfg.chunk
+    nwin = grads.shape[1] // k
+    w0 = binned.starts[:-1] // k  # (T_pad,) head-window index per tile
+    grads = (
+        grads.reshape(grads.shape[0], nwin, k)
+        .at[:, w0].add(jnp.moveaxis(stage, 0, 1))
+        .reshape(grads.shape[0], nwin * k)
+    )
 
     if pack_grads:
         # Per-Gaussian reduction via ONE variadic sort into pre-sort pair

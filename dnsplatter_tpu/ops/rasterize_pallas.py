@@ -16,7 +16,12 @@ translation):
     the strict-lower triangle the same way.
   * The grid is (num_tiles,); programs run sequentially on the core with
     pipelined output writes; tile pair-ranges come from a scalar-prefetch
-    offsets array (chunk-aligned CSR layout from the binning sort).
+    offsets array (DENSE CSR from the binning sort). Mosaic needs
+    128-lane-aligned dynamic slices, so each tile's DMA window starts at
+    the preceding chunk boundary and the head lanes (previous tile's
+    pairs) are masked via jj < 0; the backward stages each tile's head
+    chunk to a per-tile output and the caller scatter-adds it into the
+    slab (lanewise-disjoint nonzero contributors).
   * Early termination: the forward sweep is a while_loop that stops once
     every pixel of the tile saturates (T <= 1e-4) — the CUDA
     rasterizer's per-pixel `break` at tile granularity — draining the
@@ -244,7 +249,9 @@ def _chunk_geometry(pay, px, py, jj, cnt):
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
     ealpha = jnp.exp(-sigma)
     alpha = jnp.minimum(MAX_ALPHA, op * ealpha)
-    hit = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD) & (jj < cnt)
+    # jj < 0 masks the head lanes of the tile's first (alignment-rounded)
+    # DMA window, which belong to the previous tile.
+    hit = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD) & (jj >= 0) & (jj < cnt)
     return alpha, hit, dx, dy, sigma, ealpha, (ca, cb, cc, op)
 
 
@@ -254,9 +261,14 @@ def _make_fwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
     def kernel(starts_ref, counts_ref, payload_hbm, out_ref, tfin_ref,
                last_ref, pay_vmem, sems):
         t = pl.program_id(0)
-        start = pl.multiple_of(starts_ref[t], k)
+        start = starts_ref[t]
         cnt = counts_ref[t]
-        nchunks = pl.cdiv(cnt, k)
+        # Dense CSR: starts are not chunk-aligned. DMA windows begin at
+        # the preceding chunk boundary; hoff head lanes (previous tile's
+        # pairs) are masked out via jj < 0.
+        a0 = pl.multiple_of((start // k) * k, k)
+        hoff = start - a0
+        nchunks = jnp.where(cnt > 0, pl.cdiv(hoff + cnt, k), 0)
 
         ty = t // tiles_x
         tx = t % tiles_x
@@ -269,7 +281,7 @@ def _make_fwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
 
         def dma(slot, ci):
             return pltpu.make_async_copy(
-                payload_hbm.at[:, pl.ds(start + ci * k, k)],
+                payload_hbm.at[:, pl.ds(a0 + ci * k, k)],
                 pay_vmem.at[slot],
                 sems.at[slot],
             )
@@ -288,7 +300,7 @@ def _make_fwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
 
             dma(slot, ci).wait()
             pay = pay_vmem[slot]  # (PW, K)
-            jj = ci * k + jrow
+            jj = ci * k + jrow - hoff  # in-tile pair index (< 0: head mask)
             alpha, hit, _, _, _, _, _ = _chunk_geometry(pay, px, py, jj, cnt)
             alpha_eff = jnp.where(hit, alpha, 0.0)
 
@@ -297,12 +309,15 @@ def _make_fwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
             t_prev = t_run * jnp.exp(excl)
             next_t = t_prev * (1.0 - alpha_eff)
             would_term = hit & (next_t <= TRANSMITTANCE_EPS)
-            n_term_before = jnp.dot(
-                would_term.astype(jnp.float32), tri_upper,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            accept = hit & (done <= 0.0) & (n_term_before <= 0.0) & ~would_term
+            # accept iff no terminator at or before this lane: lane index
+            # strictly below the FIRST would_term lane (k if none). A
+            # per-pixel min-reduce on the VPU instead of a second
+            # (P, K) @ (K, K) triangular terminator-count matmul
+            # (measured ~0.15 ms/frame faster at the bench config).
+            first_term = jnp.min(
+                jnp.where(would_term, jrow, k), axis=1, keepdims=True
+            )  # (P, 1)
+            accept = hit & (done <= 0.0) & (jrow < first_term)
             w = jnp.where(accept, alpha * t_prev, 0.0)  # (P, K)
 
             feats = pay[6:6 + n_feats, :]  # (F, K)
@@ -361,9 +376,9 @@ def _make_fwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
 
 
 def forward_tiles(
-    payload: jax.Array,  # (16, C_pad + K)
-    tile_starts: jax.Array,  # (T_padded + 1,) chunk-aligned offsets
-    tile_counts: jax.Array,  # (T_padded,) real per-tile pair counts
+    payload: jax.Array,  # (16, C + K) — chunk tail pad for window overrun
+    tile_starts: jax.Array,  # (T_padded + 1,) dense CSR offsets
+    tile_counts: jax.Array,  # (T_padded,) per-tile pair counts
     n_tiles: int,
     n_feats: int,
     tile: int,
@@ -466,7 +481,7 @@ def reduce_segments(
     (no prefix-sum cancellation). Returns (GW, N_pad); slice [:, :n].
 
     Requires grads to extend >= `chunk` lanes past starts[-1] (the
-    aligned pair buffer's dummy tail guarantees this).
+    caller pads the slab accordingly).
     """
     gw = grads.shape[0]
     # Mosaic memref slices need the sublane (row) dim 8-aligned.
@@ -649,13 +664,19 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
     pr = (6 + n_feats + 1) // 2  # packed int32 rows
 
     def kernel(starts_ref, counts_ref, payload_hbm, g_out_ref, g_alpha_ref,
-               tfin_ref, last_ref, zslab_hbm, grad_hbm, nch_ref, pay_vmem,
-               grad_vmem, sems, gsem):
+               tfin_ref, last_ref, zslab_hbm, grad_hbm, stage_ref, nch_ref,
+               pay_vmem, grad_vmem, sems, gsem):
         del zslab_hbm  # aliased zero-filled buffer == grad_hbm
         t = pl.program_id(0)
-        start = pl.multiple_of(starts_ref[t], k)
+        start = starts_ref[t]
         cnt = counts_ref[t]
-        nchunks = pl.cdiv(cnt, k)
+        # Dense CSR windowing (see forward): the head chunk's window can
+        # overlap the previous tile's tail lanes. Its gradient columns go
+        # to the per-tile `stage` output instead of the slab (unowned
+        # lanes are exact zeros — hit masks force g_alpha_k = 0 there);
+        # XLA scatter-adds the staged windows into the slab afterward.
+        a0 = pl.multiple_of((start // k) * k, k)
+        hoff = start - a0
 
         ty = t // tiles_x
         tx = t % tiles_x
@@ -678,9 +699,16 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
 
         def dma_in(slot, ci):
             return pltpu.make_async_copy(
-                payload_hbm.at[:, pl.ds(start + ci * k, k)],
+                payload_hbm.at[:, pl.ds(a0 + ci * k, k)],
                 pay_vmem.at[slot],
                 sems.at[slot],
+            )
+
+        def dma_out(slot, ci):
+            return pltpu.make_async_copy(
+                grad_vmem.at[slot],
+                grad_hbm.at[:, pl.ds(a0 + ci * k, k)],
+                gsem.at[slot],
             )
 
         # The replay only needs chunks up to the deepest contributor
@@ -691,8 +719,10 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
         # the XLA side), so skipped columns read back as exact zeros
         # (in-kernel serial zero-fill DMAs cost ~15 ms/frame; a separate
         # XLA write-limit mask pass cost ~0.5 ms).
-        nch_eff = jnp.maximum((jnp.max(last) + k) // k, 0)
+        ml = jnp.max(last)  # deepest in-tile contributor (-1: none)
+        nch_eff = jnp.where(ml < 0, 0, (hoff + ml + k) // k)
         nch_ref[0] = jnp.full((1, 128), nch_eff, jnp.int32)
+        stage_ref[0] = jnp.zeros_like(stage_ref[0])  # no-contributor tiles
 
         @pl.when(nch_eff > 0)
         def _():
@@ -707,9 +737,17 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
             def _():
                 dma_in((i + 1) % 2, ci - 1).start()
 
+            # Slab writes are double-buffered: before reusing this slot's
+            # grad_vmem, retire the write issued two iterations ago (for
+            # chunk ci + 2). Keeps the output DMA in flight behind the
+            # current chunk's compute instead of stalling every step.
+            @pl.when(i >= 2)
+            def _():
+                dma_out(slot, ci + 2).wait()
+
             dma_in(slot, ci).wait()
             pay = pay_vmem[slot]
-            jj = ci * k + jrow
+            jj = ci * k + jrow - hoff  # in-tile index (< 0: head mask)
             alpha, hit, dx, dy, sigma, ealpha, (ca, cb, cc, op) = (
                 _chunk_geometry(pay, px, py, jj, cnt)
             )
@@ -761,6 +799,15 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
             rows = [g_mx, g_my, g_a, g_b, g_c, g_op] + [
                 g_feat[i:i + 1] for i in range(n_feats)
             ]
+            # Unowned lanes (the head window's previous-tile columns and
+            # the tail overrun) MUST be integer/FP zero bits: the staged
+            # head-window merge is an ADD that assumes at most one
+            # nonzero contributor per lane. The masked math yields
+            # NEGATIVE zero for them on Mosaic (g_sigma = -alpha * 0.0),
+            # which bf16-packs to 0x8000 — a NONZERO int32 that corrupts
+            # the packed merge (integer add flips the partner's sign
+            # bit). Mask structurally instead of relying on ±0.0.
+            owned = (jj >= 0) & (jj < cnt)  # (1, K)
             if pack_grads:
                 # Emit the slab already bf16-packed (2 fields / int32
                 # lane) — the reduction sort carries these rows directly
@@ -769,27 +816,33 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
                 # astype(bfloat16) the unpacked path uses.
                 if len(rows) % 2:
                     rows.append(jnp.zeros((1, k), jnp.float32))
-                for i in range(len(rows) // 2):
-                    hi = _rne_bf16_bits(rows[2 * i])
-                    lo = _rne_bf16_bits(rows[2 * i + 1])
-                    grad_vmem[i:i + 1] = (hi << 16) | (lo & 0xFFFF)
+                for ri in range(len(rows) // 2):
+                    hi = _rne_bf16_bits(rows[2 * ri])
+                    lo = _rne_bf16_bits(rows[2 * ri + 1])
+                    word = (hi << 16) | (lo & 0xFFFF)
+                    grad_vmem[slot, ri:ri + 1] = jnp.where(owned, word, 0)
                 for z in range(len(rows) // 2, 8):
-                    grad_vmem[z:z + 1] = jnp.zeros((1, k), jnp.int32)
+                    grad_vmem[slot, z:z + 1] = jnp.zeros((1, k), jnp.int32)
             else:
-                for i, r in enumerate(rows):
-                    grad_vmem[i:i + 1] = r
+                for ri, row in enumerate(rows):
+                    grad_vmem[slot, ri:ri + 1] = jnp.where(owned, row, 0.0)
                 for z in range(6 + n_feats, GW - 2):
-                    grad_vmem[z:z + 1] = jnp.zeros((1, k), jnp.float32)
-                grad_vmem[GW - 2:GW - 1] = jnp.abs(g_mx)
-                grad_vmem[GW - 1:GW] = jnp.abs(g_my)
+                    grad_vmem[slot, z:z + 1] = jnp.zeros((1, k), jnp.float32)
+                grad_vmem[slot, GW - 2:GW - 1] = jnp.where(
+                    owned, jnp.abs(g_mx), 0.0)
+                grad_vmem[slot, GW - 1:GW] = jnp.where(
+                    owned, jnp.abs(g_my), 0.0)
 
-            copy = pltpu.make_async_copy(
-                grad_vmem,
-                grad_hbm.at[:, pl.ds(start + ci * k, k)],
-                gsem,
-            )
-            copy.start()
-            copy.wait()
+            # Head chunk (ci == 0) is staged per-tile (its window may
+            # overlap the previous tile's tail columns); deeper chunks
+            # stream straight to the slab, double-buffered.
+            @pl.when(ci > 0)
+            def _():
+                dma_out(slot, ci).start()
+
+            @pl.when(ci == 0)
+            def _():
+                stage_ref[0] = grad_vmem[slot]
 
             t_back = t_back * jnp.exp(jnp.sum(lr, axis=1, keepdims=True))
             sacc = sacc + jnp.sum(wfg, axis=1, keepdims=True)
@@ -797,6 +850,16 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
 
         init = (t_fin_c, jnp.zeros((p, 1), jnp.float32))
         jax.lax.fori_loop(0, nch_eff, body, init)
+
+        # Retire the trailing slab write before the program ends: the DMA
+        # semaphores are shared scratch across grid steps, so leaving a
+        # copy in flight would corrupt the next tile's accounting. Writes
+        # are issued for ci >= 1 only (ci == 0 is staged); the loop's own
+        # slot-reuse waits retire everything except iteration
+        # i = nch_eff - 2 (chunk ci = 1).
+        @pl.when(nch_eff >= 2)
+        def _():
+            dma_out(nch_eff % 2, 1).wait()
 
     return kernel
 
@@ -815,13 +878,18 @@ def backward_tiles(
     tiles_x: int,
     chunk: int,
     pack_grads: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Returns (per-pair gradients, per-tile replayed chunk counts (T,)).
-    With pack_grads=False the slab is (GW=16, C_al) f32 with absgrad rows
-    at the end; with pack_grads=True it is (8, C_al) int32 of bf16 pairs
-    in field order [mx,my|a,b|c,op|f0,f1|...] (no abs rows — the packed
-    reducer derives them). Columns past a tile's replayed depth (and the
-    alignment tail) are EXACT ZEROS: the slab output aliases a
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (per-pair gradient slab, staged head windows (T, R, chunk),
+    per-tile replayed chunk counts (T,)).
+    With pack_grads=False the slab rows are (GW=16, C) f32 with absgrad
+    rows at the end; with pack_grads=True (8, C) int32 of bf16 pairs in
+    field order [mx,my|a,b|c,op|f0,f1|...] (no abs rows — the packed
+    reducer derives them). Dense CSR: each tile's HEAD chunk (whose
+    alignment window may overlap the previous tile's tail columns) is
+    emitted into `stage` instead of the slab; the caller scatter-adds
+    stage[t] into slab window starts[t] // chunk (disjoint nonzero
+    lanes, so addition is exact even on packed int32 rows). Columns past
+    a tile's replayed depth are EXACT ZEROS: the slab output aliases a
     zero-initialized input buffer."""
     p = tile * tile
     kernel = _make_bwd_kernel(n_feats, chunk, tile, tiles_x, pack_grads)
@@ -829,6 +897,7 @@ def backward_tiles(
         zslab = jnp.zeros((8, payload.shape[1]), jnp.int32)
     else:
         zslab = jnp.zeros((GW, payload.shape[1]), jnp.float32)
+    stage_rows, stage_dt = zslab.shape[0], zslab.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -846,22 +915,25 @@ def backward_tiles(
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, stage_rows, chunk), lambda t, s1, s2: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 128), lambda t, s1, s2: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, PW, chunk), jnp.float32),
-            pltpu.VMEM((8, chunk), jnp.int32) if pack_grads
-            else pltpu.VMEM((GW, chunk), jnp.float32),
+            pltpu.VMEM((2, 8, chunk), jnp.int32) if pack_grads
+            else pltpu.VMEM((2, GW, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    grads, nch = pl.pallas_call(
+    grads, stage, nch = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(zslab.shape, zslab.dtype),
+            jax.ShapeDtypeStruct((n_tiles, stage_rows, chunk), stage_dt),
             jax.ShapeDtypeStruct((n_tiles, 1, 128), jnp.int32),
         ],
         # input 7 (after the 2 scalar-prefetch args: starts, counts, then
@@ -871,4 +943,4 @@ def backward_tiles(
         interpret=_interpret(),
     )(tile_starts, tile_counts, payload, g_out_tiles, g_alpha_tiles,
       tfin_tiles, last_tiles, zslab)
-    return grads, nch[:, 0, 0]
+    return grads, stage, nch[:, 0, 0]

@@ -42,9 +42,11 @@ def slab_config(cfg: RasterizeConfig, n_devices: int) -> Tuple[RasterizeConfig, 
     rows = cfg.tiles_y
     rows_per_dev = -(-rows // n_devices)
     slab_h = rows_per_dev * cfg.tile_size
+    cap = max(cfg.pair_capacity // n_devices, 1 << 12)
     slab_cfg = cfg._replace(
         height=slab_h,
-        pair_capacity=max(cfg.pair_capacity // n_devices, 1 << 12),
+        # binning requires capacity % chunk == 0 (head-window merge)
+        pair_capacity=-(-cap // cfg.chunk) * cfg.chunk,
     )
     return slab_cfg, slab_h
 

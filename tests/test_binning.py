@@ -51,15 +51,17 @@ def _check_layout(cfg, b, pairs, n):
     starts = np.asarray(b.starts)
     counts = np.asarray(b.counts)
     pg = np.asarray(b.pair_gauss)
+    # dense CSR: gap-free ranges + a sentinel chunk tail for kernel DMAs
+    assert starts[0] == 0
+    np.testing.assert_array_equal(np.diff(starts), counts)
+    assert len(pg) == cfg.pair_buffer == cfg.pair_capacity + cfg.chunk
     got = set()
     for t in range(cfg.n_tiles_padded):
-        assert starts[t] % cfg.chunk == 0
-        seg = pg[starts[t]: starts[t] + counts[t]]
-        assert (seg < n).all(), "dummy inside real range"
+        seg = pg[starts[t]: starts[t + 1]]
+        assert (seg < n).all(), "dead slot inside real range"
         assert (np.diff(seg) > 0).all(), "within-tile depth order broken"
         got |= {(t, int(g)) for g in seg}
-        pad_seg = pg[starts[t] + counts[t]: starts[t + 1]]
-        assert (pad_seg == n).all(), "real pair in alignment gap"
+    assert (pg[starts[-1]:] == n).all(), "real pair past starts[-1]"
     assert got == pairs
 
 

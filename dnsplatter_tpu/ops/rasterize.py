@@ -84,6 +84,19 @@ class RasterizeConfig(NamedTuple):
     #                same scale. Grad error from the bf16 rounding is
     #                ~2^-9 relative per pair (sums recover in f32).
     grad_reduce: str = "sortpack"
+    # Exact ellipse-tile culling (pallas backend): drop (gaussian, tile)
+    # pairs whose maximum alpha over the tile square is < 1/255 — they
+    # can never pass the kernels' hit test, so removing them is
+    # semantics-exact. The minimum of the (convex, PD) conic quadratic
+    # over the tile rect is the center if inside, else the best of the
+    # four clamped edge minimizers. Culled pairs keep their CSR slots
+    # (sentinel key sorts them to the tile's tail) but per-tile counts
+    # shrink, so both kernels skip whole trailing chunks. Default OFF:
+    # at the bench scene the cull rate is only ~11% (the opacity-aware
+    # tight AABBs already cut most corner waste) and the test's binning
+    # cost (+6 expanded rows + a searchsorted) outweighs the kernel
+    # savings; enable for heavy-overdraw / strongly anisotropic scenes.
+    exact_cull: bool = False
 
     @property
     def tiles_x(self) -> int:
@@ -129,7 +142,10 @@ class _Binned(NamedTuple):
     pair_gauss: jax.Array  # (C + chunk,) depth-sorted gaussian idx; == N => dead
     pair_pos: jax.Array  # (C + chunk,) pre-sort pair position; == C => dead slot
     starts: jax.Array  # (T_padded + 1,) dense range starts per tile
-    counts: jax.Array  # (T_padded,) per-tile pair counts (== diff(starts))
+    counts: jax.Array  # (T_padded,) per-tile LIVE pair counts; with exact
+    #     culling this is <= diff(starts) — the slots
+    #     [starts[t] + counts[t], starts[t+1]) hold culled pairs
+    #     (pair_gauss == N, zero payload, exact-zero gradients)
     gauss_starts: jax.Array  # (N + 1,) per-Gaussian pre-sort pair ranges
     spatial_perm: jax.Array  # (N,) grouping order of gauss_starts (identity)
     total_pairs: jax.Array  # () int32 — raw total (overflow diagnostic)
@@ -149,6 +165,8 @@ def bin_gaussians(
     depths: jax.Array,
     radii: jax.Array,
     validf: jax.Array,
+    conics: jax.Array | None = None,
+    opacities: jax.Array | None = None,
 ) -> _Binned:
     """Global depth sort + dense CSR tile pair list in ONE sort.
 
@@ -268,7 +286,13 @@ def bin_gaussians(
         axis=0,
     )  # (4, N) field-major
     gauss_starts = jnp.concatenate([offsets, total[None]]).astype(jnp.int32)
-    if cfg.backend == "pallas" and c < (1 << 24) and n <= (1 << 18):
+    pallas_expand = (cfg.backend == "pallas" and c < (1 << 24)
+                     and n <= (1 << 18))
+    cull = (cfg.exact_cull and pallas_expand and conics is not None
+            and opacities is not None
+            and (t_pad + 1) * (n + 1) <= jnp.iinfo(jnp.int32).max)
+    pair_flds = None
+    if pallas_expand:
         # Per-pair fields via the expand_segments kernel: VMEM-resident
         # value/boundary tables + 128-Gaussian membership-window matmuls
         # per output chunk — replaces the XLA delta-scatter (+ prefix
@@ -277,7 +301,23 @@ def bin_gaussians(
         # overridden by the sentinel key below.
         from dnsplatter_tpu.ops import rasterize_pallas as rp
 
-        acc = rp.expand_segments(vals, gauss_starts, c)
+        if cull:
+            # One combined f32 expansion: 4 int rows (exact in f32 below
+            # 2^24) + 6 geometry rows for the exact ellipse-tile test.
+            con_s = conics[order]
+            op_s = jnp.where(valid_s, opacities[order], 0.0)
+            thr = jnp.log(jnp.maximum(op_s, 1e-12) * 255.0)
+            allvals = jnp.concatenate([
+                vals.astype(jnp.float32),
+                jnp.stack([m2d_s[:, 0], m2d_s[:, 1], con_s[:, 0],
+                           con_s[:, 1], con_s[:, 2], thr], axis=0),
+            ], axis=0)  # (10, N)
+            accf = rp.expand_segments(allvals, gauss_starts, c,
+                                      out_dtype=jnp.float32)
+            acc = accf[:4].astype(jnp.int32)
+            pair_flds = accf[4:]
+        else:
+            acc = rp.expand_segments(vals, gauss_starts, c)
     else:
         diffs = jnp.concatenate(
             [vals[:, :1], vals[:, 1:] - vals[:, :-1]], axis=1
@@ -302,6 +342,39 @@ def bin_gaussians(
 
     big = n + 1
 
+    survive = None
+    if cull:
+        # Exact ellipse-tile test: min of the PD quadratic sigma over the
+        # tile square (center if inside, else 4 clamped edge minimizers);
+        # the pair survives iff op * exp(-sigma_min) can reach 1/255,
+        # i.e. sigma_min <= log(255 * op). +1e-3 margin keeps borderline
+        # pairs so float rounding can only under-cull, never over-cull.
+        pmx, pmy, pa, pb, pcc, pthr = (pair_flds[i] for i in range(6))
+        ts_f = jnp.float32(ts)
+        ax0 = (tile_id % cfg.tiles_x).astype(jnp.float32) * ts_f - pmx
+        ay0 = (tile_id // cfg.tiles_x).astype(jnp.float32) * ts_f - pmy
+        ax1 = ax0 + ts_f
+        ay1 = ay0 + ts_f
+        a_ = jnp.maximum(pa, 1e-12)
+        c_ = jnp.maximum(pcc, 1e-12)
+
+        def _sig(dx, dy):
+            return 0.5 * (a_ * dx * dx + c_ * dy * dy) + pb * dx * dy
+
+        def _edge_x(dx):  # fixed dx, minimize over dy in [ay0, ay1]
+            return _sig(dx, jnp.clip(-pb * dx / c_, ay0, ay1))
+
+        def _edge_y(dy):  # fixed dy, minimize over dx in [ax0, ax1]
+            return _sig(jnp.clip(-pb * dy / a_, ax0, ax1), dy)
+
+        smin = jnp.minimum(
+            jnp.minimum(_edge_x(ax0), _edge_x(ax1)),
+            jnp.minimum(_edge_y(ay0), _edge_y(ay1)),
+        )
+        inside = (ax0 <= 0.0) & (0.0 <= ax1) & (ay0 <= 0.0) & (0.0 <= ay1)
+        smin = jnp.where(inside, 0.0, smin)
+        survive = smin <= pthr + 1e-3
+
     # The sort also carries each pair's spatial-grouped position (dead
     # slots get the sentinel C): the backward pass re-orders per-pair
     # gradients into that order, where every Gaussian's pairs are
@@ -311,8 +384,23 @@ def bin_gaussians(
     if (t_pad + 1) * big <= jnp.iinfo(jnp.int32).max:
         sentinel = jnp.int32(t_pad * big + n)
         key_real = jnp.where(live, tile_id * big + pair_gauss0, sentinel)
+        if cull:
+            # Culled pairs keep their slot inside the tile's range (the
+            # histogram counted the full rects) but take the tile's own
+            # sentinel gauss id: they sort to the range's tail, decode to
+            # pair_gauss == N (zero payload row), and the shrunken counts
+            # below let the kernels skip them.
+            key_real = jnp.where(
+                live & ~survive, tile_id * big + n, key_real
+            )
         keys, pair_pos = jax.lax.sort((key_real, qv), num_keys=1)
         pair_gauss = (keys % big).astype(jnp.int32)
+        if cull:
+            bounds = jnp.arange(t_pad, dtype=jnp.int32) * big + n
+            surv_end = jnp.searchsorted(
+                keys, bounds, side="left"
+            ).astype(jnp.int32)
+            tile_counts = surv_end - starts[:-1]
     else:
         # Large-N fallback: lexicographic 2-key sort (tile, gauss) — the
         # packed key would overflow int32 and x64 is disabled.
@@ -497,7 +585,8 @@ def _rasterize_core(cfg, means2d, conics, opacities, features, absgrad_sink,
 def _raster_fwd(cfg, means2d, conics, opacities, features, absgrad_sink,
                 depths, radii, validf):
     del absgrad_sink
-    binned = bin_gaussians(cfg, means2d, depths, radii, validf)
+    binned = bin_gaussians(cfg, means2d, depths, radii, validf,
+                           conics=conics, opacities=opacities)
     if cfg.backend == "pallas":
         # ONE depth-order row gather of the concatenated per-Gaussian
         # field table (vs 4 separate N-row gathers): per-row access cost

@@ -139,7 +139,8 @@ def cumsum_lanes_i32(x: jax.Array, chunk: int = 512) -> jax.Array:
     return out[:, :c]
 
 
-def _make_expand_kernel(r: int, ch: int, n_pad: int, win: int):
+def _make_expand_kernel(r: int, ch: int, n_pad: int, win: int,
+                        out_dtype=jnp.int32):
     def kernel(base_sref, nwin_sref, vals_hbm, s_hbm, e_hbm, out_ref,
                vals_vmem, s_vmem, e_vmem, sems):
         j = pl.program_id(0)
@@ -174,17 +175,18 @@ def _make_expand_kernel(r: int, ch: int, n_pad: int, win: int):
         acc = jax.lax.fori_loop(
             0, nw, body, jnp.zeros((r, ch), jnp.float32)
         )
-        out_ref[...] = acc.astype(jnp.int32)
+        out_ref[...] = acc.astype(out_dtype)
 
     return kernel
 
 
 def expand_segments(
-    vals: jax.Array,  # (R, N) int32, |values| < 2^24
+    vals: jax.Array,  # (R, N) int32 |v| < 2^24, or f32 (any value)
     starts: jax.Array,  # (N + 1,) int32 ascending segment boundaries
     out_len: int,
     chunk: int = 2048,
     win: int = 128,
+    out_dtype=jnp.int32,
 ) -> jax.Array:
     """Piecewise-constant expansion: out[:, p] = vals[:, g] for
     starts[g] <= p < starts[g+1] — the transpose of reduce_segments.
@@ -194,8 +196,9 @@ def expand_segments(
     boundary tables stay VMEM-resident (one DMA each), and every output
     chunk contracts 128-Gaussian membership windows on the MXU. The
     per-chunk window list comes from a host-free XLA searchsorted.
-    Positions >= starts[-1] produce zeros. Exact for |vals| < 2^24
-    (f32 integer matmul).
+    Positions >= starts[-1] produce zeros. Exact for int32 |vals| < 2^24,
+    and exact for ARBITRARY f32 vals (out_dtype=float32): segments are
+    disjoint, so every output lane contracts exactly one val * 1.0 term.
     """
     r, n = vals.shape
     n_pad = -(-(n + 1) // win) * win + win
@@ -213,7 +216,7 @@ def expand_segments(
     base = (glo // win) * win
     nwin = jnp.maximum(-(-(jnp.maximum(ghi - base, 0)) // win), 0)
     out = pl.pallas_call(
-        _make_expand_kernel(r, chunk, n_pad, win),
+        _make_expand_kernel(r, chunk, n_pad, win, out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nchunks,),
@@ -230,7 +233,7 @@ def expand_segments(
                 pltpu.SemaphoreType.DMA((3,)),
             ],
         ),
-        out_shape=[jax.ShapeDtypeStruct((r, cp), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((r, cp), out_dtype)],
         interpret=_interpret(),
     )(base, nwin, vals_p, s_p[None, :], e_p[None, :])[0]
     return out[:, :out_len]
@@ -327,8 +330,11 @@ def _make_fwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
                 precision=jax.lax.Precision.HIGHEST,
             )  # (F, P)
 
-            l_acc = jnp.log1p(-jnp.where(accept, alpha, 0.0))
-            t_run = t_run * jnp.exp(jnp.sum(l_acc, axis=1, keepdims=True))
+            # accept subset of hit => log1p(-alpha) == lg there: reuse it
+            # instead of a second (P, K) log1p materialization.
+            t_run = t_run * jnp.exp(
+                jnp.sum(jnp.where(accept, lg, 0.0), axis=1, keepdims=True)
+            )
             done = jnp.maximum(
                 done,
                 jnp.max(would_term.astype(jnp.float32), axis=1, keepdims=True),
@@ -686,7 +692,6 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
 
         jrow = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
         tri_low_incl = _tri(k, "lower_incl")
-        tri_low_strict = _tri(k, "strict_lower")
 
         g_out = g_out_ref[0]  # (F, P)
         g_alpha_pix = g_alpha_ref[0]  # (1, P)
@@ -753,6 +758,7 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
             )
             accept = hit & (jj <= last_c)
             alpha_eff = jnp.where(accept, alpha, 0.0)
+            one_m = 1.0 - alpha_eff
             lr = -jnp.log1p(-alpha_eff)  # log(1/(1-a)) >= 0
             suf = jnp.exp(
                 jnp.dot(lr, tri_low_incl, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
@@ -768,12 +774,19 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
                 precision=jax.lax.Precision.HIGHEST,
             ).reshape(p, k)
             wfg = w * fg
+            # strict suffix = inclusive suffix - self: shares the SAME
+            # triangular matrix as the `suf` scan (weights stay stationary
+            # on the MXU across both matmuls).
+            # strict suffix = inclusive suffix - self (shares the tri
+            # matrix with the suf scan; weights stay MXU-stationary)
             q = (
-                jnp.dot(wfg, tri_low_strict,
+                jnp.dot(wfg, tri_low_incl,
                         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-                + sacc
+                - wfg + sacc
             )
-            rcp = jnp.exp(lr)  # 1/(1-alpha_eff)
+            # direct reciprocal (same formulation as the XLA backward)
+            # instead of exp(lr): one less (P, K) transcendental.
+            rcp = 1.0 / one_m
             g_alpha_k = jnp.where(
                 accept,
                 t_entry * fg - q * rcp + g_alpha_c * t_fin_c * rcp,

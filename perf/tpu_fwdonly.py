@@ -20,7 +20,9 @@ viewmat = cam.viewmat()
 fx, fy, cx, cy = float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy)
 opac = jax.nn.sigmoid(params.opacities)
 feats = jnp.concatenate([jnp.ones((N, 3)) * 0.5, params.normals], -1)
-cfg = R.RasterizeConfig(width=W, height=H, tile_size=16, chunk=128,
+import os
+CHUNK = int(os.environ.get("CHUNK", "128"))
+cfg = R.RasterizeConfig(width=W, height=H, tile_size=16, chunk=CHUNK,
                         tile_block=16, pair_capacity=1_572_864,
                         backend="pallas")
 REPS = 20
@@ -50,4 +52,4 @@ outs = [step(jnp.float32(i + 1), params.means) for i in range(3)]
 for o in outs:
     float(np.asarray(o))
 dt = (time.perf_counter() - t0) / (3 * REPS) * 1e3
-print(f"fwd: {dt:.2f} ms/frame", flush=True)
+print(f"fwd chunk={CHUNK}: {dt:.2f} ms/frame", flush=True)

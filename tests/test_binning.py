@@ -217,3 +217,64 @@ def test_expand_segments_matches_numpy():
     for g in range(n):
         expect[:, starts[g]:starts[g + 1]] = vals[:, g:g + 1]
     np.testing.assert_array_equal(out, expect)
+
+
+def test_exact_cull_drops_only_invisible_pairs():
+    """Culled (gaussian, tile) pairs must have max alpha < 1/255 over the
+    tile's pixel centers (semantics-exact cull); counts shrink, ranges
+    keep the culled slots as sentinel-gauss tail entries."""
+    rng = np.random.default_rng(21)
+    n, w, h = 200, 128, 96
+    m2d = rng.uniform(0, [w, h], (n, 2)).astype(np.float32)
+    depths = rng.uniform(0.5, 5.0, n).astype(np.float32)
+    # anisotropic conics (PD): random rotation of diag(1/sx^2, 1/sy^2)
+    sx = rng.uniform(1.0, 12.0, n)
+    sy = rng.uniform(1.0, 12.0, n)
+    th = rng.uniform(0, np.pi, n)
+    ct, st = np.cos(th), np.sin(th)
+    a = (ct**2 / sx**2 + st**2 / sy**2).astype(np.float32)
+    b = (ct * st * (1 / sx**2 - 1 / sy**2)).astype(np.float32)
+    cc = (st**2 / sx**2 + ct**2 / sy**2).astype(np.float32)
+    conics = np.stack([a, b, cc], -1)
+    opac = rng.uniform(0.02, 1.0, n).astype(np.float32)
+    # generous radii so rects overcover (cull has work to do)
+    radii = np.full(n, 40.0, np.float32)
+    valid = np.ones(n, np.float32)
+
+    cfg = RasterizeConfig(width=w, height=h, tile_size=16, chunk=16,
+                          tile_block=4, pair_capacity=1 << 14,
+                          backend="pallas", exact_cull=True)
+    b_cull = bin_gaussians(cfg, jnp.asarray(m2d), jnp.asarray(depths),
+                           jnp.asarray(radii), jnp.asarray(valid),
+                           conics=jnp.asarray(conics),
+                           opacities=jnp.asarray(opac))
+    b_all = bin_gaussians(cfg, jnp.asarray(m2d), jnp.asarray(depths),
+                          jnp.asarray(radii), jnp.asarray(valid))
+    starts = np.asarray(b_cull.starts)
+    np.testing.assert_array_equal(starts, np.asarray(b_all.starts))
+    cnt_c = np.asarray(b_cull.counts)
+    cnt_a = np.asarray(b_all.counts)
+    assert (cnt_c <= cnt_a).all()
+    assert cnt_c.sum() < cnt_a.sum(), "cull removed nothing"
+    order = np.asarray(b_cull.order)
+    pg_c = np.asarray(b_cull.pair_gauss)
+    pg_a = np.asarray(b_all.pair_gauss)
+    for t in range(cfg.n_tiles):
+        live_c = set(pg_c[starts[t]:starts[t] + cnt_c[t]].tolist())
+        live_a = set(pg_a[starts[t]:starts[t] + cnt_a[t]].tolist())
+        assert live_c <= live_a
+        # culled slots are sentinel-tail entries of the same range
+        tail = pg_c[starts[t] + cnt_c[t]:starts[t + 1]]
+        assert (tail == n).all()
+        ty, tx = divmod(t, cfg.tiles_x)
+        px = tx * 16 + np.arange(16) + 0.5
+        py = ty * 16 + np.arange(16) + 0.5
+        PX, PY = np.meshgrid(px, py)
+        for rank in live_a - live_c:
+            gi = order[rank]
+            dx = PX - m2d[gi, 0]
+            dy = PY - m2d[gi, 1]
+            sig = 0.5 * (a[gi] * dx**2 + cc[gi] * dy**2) + b[gi] * dx * dy
+            amax = opac[gi] * np.exp(-sig).max()
+            assert amax < 1.0 / 255.0, (
+                f"tile {t} gauss {gi}: culled pair visible (alpha {amax})")

@@ -188,8 +188,10 @@ def bin_gaussians(
     ts = cfg.tile_size
     k = cfg.chunk
     c = cfg.pair_capacity
-    # the backward's staged head-window merge indexes chunk-wide windows
-    assert c % k == 0, "pair_capacity must be a multiple of chunk"
+    if cfg.backend == "pallas":
+        # the backward's staged head-window merge indexes chunk-wide
+        # windows (the XLA backend has no such constraint)
+        assert c % k == 0, "pair_capacity must be a multiple of chunk"
     t_pad = cfg.n_tiles_padded
     valid = validf > 0.5
 
@@ -288,6 +290,9 @@ def bin_gaussians(
     gauss_starts = jnp.concatenate([offsets, total[None]]).astype(jnp.int32)
     pallas_expand = (cfg.backend == "pallas" and c < (1 << 24)
                      and n <= (1 << 18))
+    # NOTE: culling requires the pallas expand path (n <= 2^18,
+    # capacity < 2^24) and the packed-key sort; outside those bounds an
+    # exact_cull request silently no-ops (the layout stays correct).
     cull = (cfg.exact_cull and pallas_expand and conics is not None
             and opacities is not None
             and (t_pad + 1) * (n + 1) <= jnp.iinfo(jnp.int32).max)

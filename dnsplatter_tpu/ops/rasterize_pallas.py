@@ -777,8 +777,6 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
             # strict suffix = inclusive suffix - self: shares the SAME
             # triangular matrix as the `suf` scan (weights stay stationary
             # on the MXU across both matmuls).
-            # strict suffix = inclusive suffix - self (shares the tri
-            # matrix with the suf scan; weights stay MXU-stationary)
             q = (
                 jnp.dot(wfg, tri_low_incl,
                         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)

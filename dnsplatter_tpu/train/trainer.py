@@ -263,7 +263,9 @@ class Trainer:
             tile_size=tc.tile_size,
             chunk=tc.chunk,
             tile_block=tc.tile_block,
-            pair_capacity=tc.pair_capacity,
+            # pallas binning requires capacity % chunk == 0 (head-window
+            # merge): round user-provided capacities up
+            pair_capacity=-(-tc.pair_capacity // tc.chunk) * tc.chunk,
             backend=backend,
         )
 

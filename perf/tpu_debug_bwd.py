@@ -39,13 +39,19 @@ validf = (proj.valid & (alive > 0.5)).astype(jnp.float32)
 sink = jnp.zeros_like(proj.means2d)
 
 
-@jax.jit
-def fwd_residuals(means2d, conics, op, fts):
+def _fwd_residuals_impl(means2d, conics, op, fts):
     (img, a), res = R._raster_fwd(
         cfg, means2d, conics, op, fts, sink, proj.depths, proj.radii_xy,
         validf)
     binned, payload, tfin_t, last_t, n = res
     return img, a, binned, payload, tfin_t, last_t
+
+
+def fwd_residuals(*args):
+    # fresh jit per call: pallas_call bakes the interpret flag at trace
+    # time, so a cached executable would make the Mosaic-vs-interpret
+    # comparison vacuous.
+    return jax.jit(_fwd_residuals_impl)(*args)
 
 
 img, a, binned, payload, tfin_t, last_t = fwd_residuals(

@@ -20,7 +20,6 @@ viewmat = cam.viewmat()
 fx, fy, cx, cy = float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy)
 opac = jax.nn.sigmoid(params.opacities)
 feats = jnp.concatenate([jnp.ones((N, 3)) * 0.5, params.normals], -1)
-import os
 CHUNK = int(os.environ.get("CHUNK", "128"))
 cfg = R.RasterizeConfig(width=W, height=H, tile_size=16, chunk=CHUNK,
                         tile_block=16, pair_capacity=1_572_864,

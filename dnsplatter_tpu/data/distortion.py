@@ -140,8 +140,11 @@ def colmap_distortion(model: str, params: np.ndarray):
         z6[0], z6[1], z6[4], z6[5] = p[4], p[5], p[6], p[7]
         return z6, "perspective"
     if model == "FULL_OPENCV":
-        # fx fy cx cy k1 k2 p1 p2 k3 k4 k5 k6 (k5/k6 unsupported -> drop)
-        z6[0], z6[1], z6[2], z6[3] = p[4], p[5], p[8], p[9]
+        # fx fy cx cy k1 k2 p1 p2 k3 k4 k5 k6. k3 is a polynomial
+        # numerator term (kept); k4/k5/k6 are RATIONAL-model denominator
+        # coefficients with no polynomial equivalent -> dropped (mapping
+        # k4 into the r^8 slot would flip its sign and order).
+        z6[0], z6[1], z6[2] = p[4], p[5], p[8]
         z6[4], z6[5] = p[6], p[7]
         return z6, "perspective"
     if model == "OPENCV_FISHEYE":
@@ -153,4 +156,7 @@ def colmap_distortion(model: str, params: np.ndarray):
         if len(p) > 4:
             z6[1] = p[4]
         return z6, "fisheye"
-    return None, "perspective"
+    raise ValueError(
+        f"unsupported COLMAP camera model {model!r}: refusing to silently "
+        "treat it as a distortion-free pinhole"
+    )

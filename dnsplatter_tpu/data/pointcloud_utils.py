@@ -73,6 +73,41 @@ def _frame_intrinsics(meta, fr):
             float(g("cy")), int(g("w")), int(g("h")))
 
 
+def _load_rgbd_frame(capture_dir: Path, meta, fr, depth_scale: float):
+    """Load one RGB-D frame: (rgb, depth (H, W, 1), c2w 4x4 OpenGL,
+    fx, fy, cx, cy) with intrinsics rescaled to the depth resolution, or
+    None when the image/depth files are missing."""
+    from dnsplatter_tpu.data import io
+
+    img_path = capture_dir / fr["file_path"]
+    dp = fr.get("depth_file_path")
+    depth_path = (capture_dir / dp) if dp else (
+        capture_dir / "depth" / (Path(fr["file_path"]).stem + ".png")
+    )
+    if not img_path.exists() or not depth_path.exists():
+        return None
+    fx, fy, cx, cy, w, h = _frame_intrinsics(meta, fr)
+    rgb = io.read_image(img_path)
+    depth = io.read_depth(depth_path, depth_scale)
+    dh, dw = depth.shape[:2]
+    if rgb.shape[:2] != (dh, dw):
+        rgb = io.resize_image(rgb, dh, dw)
+    sx, sy = dw / w, dh / h
+    c2w = np.array(fr["transform_matrix"], np.float64)
+    if c2w.shape == (3, 4):
+        c2w = np.concatenate([c2w, [[0, 0, 0, 1]]], 0)
+    return rgb, depth, c2w, fx * sx, fy * sy, cx * sx, cy * sy
+
+
+def _cap_frames(frames, max_frames):
+    """Subsample to AT MOST max_frames (ceil stride; a floor stride can
+    keep up to ~2x the cap)."""
+    if max_frames and len(frames) > max_frames:
+        stride = -(-len(frames) // max_frames)
+        return frames[::stride]
+    return frames
+
+
 def backproject_rgbd_cloud(
     capture_dir: Path,
     num_points: int = 1_000_000,
@@ -87,33 +122,18 @@ def backproject_rgbd_cloud(
     from dnsplatter_tpu.data import io
 
     meta = _load_frames_meta(capture_dir)
-    frames = _train_frames(capture_dir, meta)
-    if max_frames and len(frames) > max_frames:
-        frames = frames[:: max(1, len(frames) // max_frames)]
+    frames = _cap_frames(_train_frames(capture_dir, meta), max_frames)
     rng = np.random.default_rng(seed)
     per_frame = (num_points + len(frames)) // max(len(frames), 1)
 
     pts_l, col_l, nrm_l = [], [], []
     for fr in frames:
-        img_path = capture_dir / fr["file_path"]
-        dp = fr.get("depth_file_path")
-        depth_path = (capture_dir / dp) if dp else (
-            capture_dir / "depth" / (Path(fr["file_path"]).stem + ".png")
-        )
-        if not img_path.exists() or not depth_path.exists():
+        frame = _load_rgbd_frame(capture_dir, meta, fr, depth_scale)
+        if frame is None:
             continue
-        fx, fy, cx, cy, w, h = _frame_intrinsics(meta, fr)
-        rgb = io.read_image(img_path)
-        depth = io.read_depth(depth_path, depth_scale)[... , 0]
+        rgb, depth, c2w, fxd, fyd, cxd, cyd = frame
+        depth = depth[..., 0]
         dh, dw = depth.shape
-        if rgb.shape[:2] != (dh, dw):
-            rgb = io.resize_image(rgb, dh, dw)
-        sx, sy = dw / w, dh / h
-        fxd, fyd, cxd, cyd = fx * sx, fy * sy, cx * sx, cy * sy
-
-        c2w = np.array(fr["transform_matrix"], np.float64)
-        if c2w.shape == (3, 4):
-            c2w = np.concatenate([c2w, [[0, 0, 0, 1]]], 0)
         c2w_cv = c2w @ OPENGL_TO_OPENCV
 
         us, vs = np.meshgrid(np.arange(dw) + 0.5, np.arange(dh) + 0.5)
@@ -178,32 +198,17 @@ def tsdf_fused_cloud(
     from dnsplatter_tpu.mesh import tsdf as T
 
     meta = _load_frames_meta(capture_dir)
-    frames = _train_frames(capture_dir, meta)
-    if len(frames) > max_frames:
-        frames = frames[:: max(1, len(frames) // max_frames)]
+    frames = _cap_frames(_train_frames(capture_dir, meta), max_frames)
 
     loaded = []
     lo = np.full(3, np.inf)
     hi = np.full(3, -np.inf)
     for fr in frames:
-        img_path = capture_dir / fr["file_path"]
-        dp = fr.get("depth_file_path")
-        depth_path = (capture_dir / dp) if dp else (
-            capture_dir / "depth" / (Path(fr["file_path"]).stem + ".png")
-        )
-        if not img_path.exists() or not depth_path.exists():
+        frame = _load_rgbd_frame(capture_dir, meta, fr, depth_scale)
+        if frame is None:
             continue
-        fx, fy, cx, cy, w, h = _frame_intrinsics(meta, fr)
-        rgb = io.read_image(img_path)
-        depth = io.read_depth(depth_path, depth_scale)
-        dh, dw = depth.shape[:2]
-        if rgb.shape[:2] != (dh, dw):
-            rgb = io.resize_image(rgb, dh, dw)
-        sx, sy = dw / w, dh / h
-        c2w = np.array(fr["transform_matrix"], np.float64)
-        if c2w.shape == (3, 4):
-            c2w = np.concatenate([c2w, [[0, 0, 0, 1]]], 0)
-        loaded.append((depth, rgb, c2w, fx * sx, fy * sy, cx * sx, cy * sy))
+        rgb, depth, c2w, fxd, fyd, cxd, cyd = frame
+        loaded.append((depth, rgb, c2w, fxd, fyd, cxd, cyd))
         cam = (c2w @ OPENGL_TO_OPENCV)[:3, 3]
         lo = np.minimum(lo, cam - 4.0)
         hi = np.maximum(hi, cam + 4.0)
@@ -272,6 +277,11 @@ def generate_kinect_pointcloud(
             continue
         cloud = io.read_ply(ply)
         pts = cloud["points"].astype(np.float64)
+        # NOTE: the OPENGL_TO_OPENCV right-multiplication deliberately does
+        # NOT cancel between the two poses — the SpectacularAI pose txt and
+        # the COLMAP transform_matrix use different camera conventions, and
+        # this conjugation reproduces the reference exactly
+        # (mushroom_utils/pointcloud_utils.py:52-59).
         original_pose = np.loadtxt(pose_txt).reshape(4, 4) @ OPENGL_TO_OPENCV
         colmap_pose = np.array(fr["transform_matrix"], np.float64)
         if colmap_pose.shape == (3, 4):

@@ -135,6 +135,12 @@ def icp(
         if abs(prev_rmse - rmse) < tolerance:
             break
         prev_rmse = rmse
+    # Report residuals OF THE RETURNED transform (the loop's rmse is one
+    # update stale — it was measured before the final delta).
+    dist, _ = tree.query(cur, k=1, workers=-1)
+    keep = dist < max_correspondence_distance
+    if keep.any():
+        rmse = float(np.sqrt((dist[keep] ** 2).mean()))
     return transform, rmse
 
 

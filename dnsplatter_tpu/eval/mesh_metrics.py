@@ -75,6 +75,16 @@ def subdivide_to_edge_length(
     return v.astype(np.float32), f.astype(np.int32)
 
 
+def compact_mesh(vertices: np.ndarray, faces: np.ndarray,
+                 face_keep: np.ndarray):
+    """Drop faces where ~face_keep and compact to the used vertex set."""
+    f = faces[face_keep]
+    used = np.zeros(len(vertices), bool)
+    used[f] = True
+    remap = np.cumsum(used) - 1
+    return vertices[used], remap[f].astype(np.int32)
+
+
 def cull_mesh(
     vertices: np.ndarray,
     faces: np.ndarray,
@@ -112,11 +122,7 @@ def cull_mesh(
         inb = ((vertices >= lo) & (vertices <= hi)).all(1)
         seen &= inb
     face_keep = seen[faces].any(1)
-    f = faces[face_keep]
-    used = np.zeros(len(vertices), bool)
-    used[f] = True
-    remap = np.cumsum(used) - 1
-    return vertices[used], remap[f].astype(np.int32)
+    return compact_mesh(vertices, faces, face_keep)
 
 
 def sample_surface(

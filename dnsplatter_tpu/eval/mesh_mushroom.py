@@ -69,7 +69,9 @@ def footprint_mask_2d(gt_2d: np.ndarray, kernel_size: int = 15,
     min_val = gt_2d.min(0)
     max_val = gt_2d.max(0)
     span = np.maximum(max_val - min_val, 1e-9)
-    ij = ((gt_2d - min_val) / span * (_GRID - 1)).astype(np.int64)
+    # round (not floor): must match _inside_footprint's nearest-cell
+    # lookup or boundary vertices fall into unmarked cells
+    ij = np.round((gt_2d - min_val) / span * (_GRID - 1)).astype(np.int64)
     img = np.zeros((_GRID, _GRID), bool)
     img[ij[:, 1], ij[:, 0]] = True
     if kernel_size > 1:
@@ -107,11 +109,7 @@ def cut_mesh(
         )
         keep &= _inside_footprint(pred_v[:, axes], mask, mn, span)
     face_keep = keep[pred_f].all(1)
-    f = pred_f[face_keep]
-    used = np.zeros(len(pred_v), bool)
-    used[f] = True
-    remap = np.cumsum(used) - 1
-    return pred_v[used], remap[f].astype(np.int32)
+    return MM.compact_mesh(pred_v, pred_f, face_keep)
 
 
 def cull_mesh_mushroom(
@@ -161,11 +159,7 @@ def cull_mesh_mushroom(
     else:
         invalid_face = np.zeros(len(faces), bool)
     face_keep = seen_face & ~invalid_face
-    f = faces[face_keep]
-    used = np.zeros(len(vertices), bool)
-    used[f] = True
-    remap = np.cumsum(used) - 1
-    return vertices[used], remap[f].astype(np.int32)
+    return MM.compact_mesh(vertices, faces, face_keep)
 
 
 def evaluate_mesh_mushroom(
@@ -196,8 +190,18 @@ def evaluate_mesh_mushroom(
         init = np.eye(4)
         init[:3, 3] = pred_v.mean(0) - gt_v.mean(0)
         # gt -> capture frame directly (this IS inv(gt_transformation))
-        inv_t, _ = icp(gt_v, pred_v, init=init,
-                       max_correspondence_distance=0.3)
+        inv_t, icp_rmse = icp(gt_v, pred_v, init=init,
+                              max_correspondence_distance=0.3)
+        if not np.isfinite(icp_rmse) or icp_rmse > 0.15:
+            import warnings
+
+            warnings.warn(
+                f"mesh_mushroom: fallback point-to-point ICP converged "
+                f"poorly (rmse {icp_rmse:.3f} m) — downstream metrics may "
+                "be meaningless; supply the shipped icp_{device}.json "
+                "(the reference protocol) or a global registration init.",
+                stacklevel=2,
+            )
     else:
         inv_t = np.linalg.inv(np.asarray(icp_transform))
     gt_v = transform_points(np.asarray(gt_v, np.float64), inv_t)

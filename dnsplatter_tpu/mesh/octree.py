@@ -31,21 +31,43 @@ from dnsplatter_tpu.mesh.marching import (
 )
 
 
+def _pack_coords(coords: np.ndarray) -> np.ndarray:
+    """Nonnegative integer (N, 3) coords -> sortable int64 keys
+    (21 bits per axis: fine up to 2M cells per side)."""
+    c = coords.astype(np.int64)
+    return (c[:, 0] << 42) | (c[:, 1] << 21) | c[:, 2]
+
+
 def _eval_corners(
     eval_fn, cells: np.ndarray, step: float, origin: np.ndarray,
-    batch: int,
-) -> np.ndarray:
-    """(C, 8) isoFunc values at the corners of integer `cells` (scaled by
-    `step` from `origin`), evaluating each unique corner once."""
+    batch: int, known=None,
+):
+    """isoFunc values at the corners of integer `cells` (scaled by `step`
+    from `origin`), evaluating each unique corner once. `known` is an
+    optional (sorted_keys, values) cache of corners already evaluated at
+    THIS level's coordinate scale (parent corners land on even child
+    coords, so each refinement reuses ~a third of its unique corners).
+    Returns ((C, 8) values, unique corner coords, unique corner values).
+    """
     corners = cells[:, None, :] + _CORNERS[None, :, :]  # (C, 8, 3)
     flat = corners.reshape(-1, 3)
     uniq, inv = np.unique(flat, axis=0, return_inverse=True)
-    pts = origin[None, :] + uniq.astype(np.float64) * step
-    vals = np.empty(len(pts), np.float32)
+    vals = np.empty(len(uniq), np.float32)
+    todo = np.ones(len(uniq), bool)
+    if known is not None and len(known[0]) > 0:
+        kk, kv = known
+        keys = _pack_coords(uniq)
+        pos = np.clip(np.searchsorted(kk, keys), 0, len(kk) - 1)
+        hit = kk[pos] == keys
+        vals[hit] = kv[pos[hit]]
+        todo = ~hit
+    pts = origin[None, :] + uniq[todo].astype(np.float64) * step
+    new_vals = np.empty(len(pts), np.float32)
     for s in range(0, len(pts), batch):
         e = min(s + batch, len(pts))
-        vals[s:e] = np.asarray(eval_fn(pts[s:e]), np.float32).reshape(-1)
-    return vals[inv].reshape(-1, 8)
+        new_vals[s:e] = np.asarray(eval_fn(pts[s:e]), np.float32).reshape(-1)
+    vals[todo] = new_vals
+    return vals[inv].reshape(-1, 8), uniq, vals
 
 
 def _dilate_cells(cells: np.ndarray, grid_max: np.ndarray) -> np.ndarray:
@@ -152,8 +174,15 @@ def adaptive_isosurface(
     )
     cells = np.stack([cx, cy, cz], -1).reshape(-1, 3)
 
+    known = None
     for lv in range(levels + 1):
-        vals = _eval_corners(eval_fn, cells, step, bounds_min, batch)
+        vals, uniq, uvals = _eval_corners(
+            eval_fn, cells, step, bounds_min, batch, known=known
+        )
+        # cache this level's corners at the CHILD coordinate scale (x2)
+        child_keys = _pack_coords(uniq * 2)
+        order = np.argsort(child_keys)
+        known = (child_keys[order], uvals[order])
         if lv == levels:
             return _mesh_cells(cells, vals, step, bounds_min, level)
         inside = (vals - level) < 0

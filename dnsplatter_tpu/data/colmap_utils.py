@@ -45,6 +45,29 @@ _CAMERA_MODELS = {
 }
 
 
+def rotmat_to_qvec(r: np.ndarray) -> np.ndarray:
+    """(w, x, y, z) quaternion from a rotation matrix — the eigenvector
+    formulation COLMAP itself uses (scripts/python/read_write_model.py
+    rotmat2qvec); shared by the pose-export scripts."""
+    rxx, ryx, rzx, rxy, ryy, rzy, rxz, ryz, rzz = np.asarray(r).flat
+    k = (
+        np.array(
+            [
+                [rxx - ryy - rzz, 0, 0, 0],
+                [ryx + rxy, ryy - rxx - rzz, 0, 0],
+                [rzx + rxz, rzy + ryz, rzz - rxx - ryy, 0],
+                [ryz - rzy, rzx - rxz, rxy - ryx, rxx + ryy + rzz],
+            ]
+        )
+        / 3.0
+    )
+    eigvals, eigvecs = np.linalg.eigh(k)
+    qvec = eigvecs[[3, 0, 1, 2], np.argmax(eigvals)]
+    if qvec[0] < 0:
+        qvec *= -1
+    return qvec
+
+
 def qvec_to_rotmat(q: np.ndarray) -> np.ndarray:
     w, x, y, z = q
     return np.array(

@@ -35,6 +35,8 @@ def write_image(path: Path, img: np.ndarray) -> None:
     from PIL import Image
 
     arr = np.clip(np.asarray(img), 0.0, 1.0)
+    if arr.ndim == 3 and arr.shape[-1] == 1:
+        arr = arr[..., 0]  # PIL cannot encode (H, W, 1)
     Image.fromarray((arr * 255).astype(np.uint8)).save(path)
 
 
@@ -86,8 +88,10 @@ def write_depth_png(path: Path, depth: np.ndarray, unit: float = 1e-3) -> None:
     """16-bit PNG depth (millimetres by default)."""
     from PIL import Image
 
-    d = (np.asarray(depth).squeeze() / unit).astype(np.uint16)
-    Image.fromarray(d, mode="I;16").save(path)
+    # clip BEFORE the uint16 cast: values past 65535 would otherwise
+    # wrap around into small, valid-looking depths
+    d = np.clip(np.asarray(depth).squeeze() / unit, 0, 65535)
+    Image.fromarray(d.astype(np.uint16), mode="I;16").save(path)
 
 
 def read_normal(
@@ -113,10 +117,15 @@ def read_normal(
         n = np.asarray(Image.open(path)).astype(np.float32) / 255.0
     n = n[..., :3]
     vec = 2.0 * n - 1.0
+    rot = None if c2w is None else np.asarray(c2w)[:3, :3]
     if format == "omnidata":
         vec = vec * np.array([1.0, -1.0, -1.0], np.float32)
-    if c2w is not None:
-        vec = vec @ c2w[:3, :3].T
+        if rot is not None:
+            # the flip put vec in the OpenCV camera frame; the c2w is
+            # OpenGL-convention, so compose with the axis flip
+            rot = rot @ np.diag([1.0, -1.0, -1.0])
+    if rot is not None:
+        vec = vec @ rot.T
     return (vec + 1.0) * 0.5
 
 
@@ -215,7 +224,7 @@ def read_ply(path: Path) -> Dict[str, np.ndarray]:
     }
     if all(k in data for k in ("red", "green", "blue")):
         cols = np.stack([data["red"], data["green"], data["blue"]], -1)
-        if cols.max() > 1.0:
+        if cols.size and cols.max() > 1.0:
             cols = cols / 255.0
         out["colors"] = cols.astype(np.float32)
     if all(k in data for k in ("nx", "ny", "nz")):
@@ -262,7 +271,8 @@ def write_ply(
             normals[:, 0], normals[:, 1], normals[:, 2]
         )
     if colors is not None:
-        cols = colors * 255.0 if colors.max() <= 1.0 + 1e-6 else colors
+        scale_up = colors.size and colors.max() <= 1.0 + 1e-6
+        cols = colors * 255.0 if scale_up else colors
         cols = np.clip(cols, 0, 255).astype(np.uint8)
         rec["red"], rec["green"], rec["blue"] = cols[:, 0], cols[:, 1], cols[:, 2]
 

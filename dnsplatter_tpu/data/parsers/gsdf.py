@@ -60,9 +60,9 @@ def parse(cfg: GSDFParserConfig, split: str = "train") -> SceneDataset:
                 fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
                 width=w, height=h,
                 sensor_depth_path=data_dir / depth if depth else None,
-                normal_path=(
-                    (data_dir / normal).with_suffix(".png") if normal else None
-                ),
+                # keep the suffix as given: SDFStudio normals are .npy
+                # (io.read_normal handles both .npy and images)
+                normal_path=(data_dir / normal) if normal else None,
                 mask_path=(
                     data_dir / fr["foreground_mask"]
                     if "foreground_mask" in fr else None

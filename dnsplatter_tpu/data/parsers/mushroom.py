@@ -105,11 +105,12 @@ def _load_capture(capture_dir: Path, cfg: MushroomParserConfig):
                     break
         conf = None
         if cfg.load_depth_confidence_masks:
-            cand = (
-                capture_dir / "depth_normals_mask"
-                / (Path(fr["file_path"]).stem + ".jpg")
-            )
-            conf = cand if cand.exists() else None
+            stem = Path(fr["file_path"]).stem
+            for ext in (".png", ".jpg"):  # ours: png; reference ships jpg
+                cand = capture_dir / "depth_normals_mask" / (stem + ext)
+                if cand.exists():
+                    conf = cand
+                    break
         specs.append(
             FrameSpec(
                 image_path=img,
@@ -150,9 +151,12 @@ def _ensure_confidence_masks(capture_dir: Path, specs, cfg) -> None:
         sx = depth.shape[1] / sp.width
         mask = consistency_mask(depth, normal, sp.fx * sx, sp.fy * sy,
                                 sp.cx * sx, sp.cy * sy)
-        io.write_image(out_dir / f"{sp.image_path.stem}.jpg",
+        # PNG, not JPEG: the mask is a binary {0, 255} gate and the
+        # AGS depth filter keeps gt where confidence > 0 — lossy "bad"
+        # pixels decoding to 250-254 would silently disable the filter
+        io.write_image(out_dir / f"{sp.image_path.stem}.png",
                        mask[..., None] / 255.0)
-        sp.confidence_path = out_dir / f"{sp.image_path.stem}.jpg"
+        sp.confidence_path = out_dir / f"{sp.image_path.stem}.png"
 
 
 def _ensure_normals(capture_dir: Path, specs, cfg) -> None:

@@ -89,9 +89,19 @@ def parse(cfg: NerfstudioParserConfig, split: str = "train") -> SceneDataset:
     meta = json.loads((data_dir / "transforms.json").read_text())
 
     frames_meta = meta["frames"]
-    # Sort frames by file path for deterministic ordering (the reference
-    # relies on natsorted filename alignment with prior folders).
-    frames_meta = sorted(frames_meta, key=lambda fr: fr["file_path"])
+    # NATSORT the frames exactly like the prior folders below (the
+    # reference relies on natsorted filename alignment): a plain
+    # lexicographic sort misaligns non-zero-padded names (frame_10 would
+    # sort before frame_2) and every frame would receive another frame's
+    # priors.
+    import re as _re
+
+    def _natkey(name: str):
+        return [int(t) if t.isdigit() else t
+                for t in _re.split(r"(\d+)", name)]
+
+    frames_meta = sorted(frames_meta,
+                         key=lambda fr: _natkey(Path(fr["file_path"]).name))
 
     poses = []
     keep = []
@@ -130,7 +140,26 @@ def parse(cfg: NerfstudioParserConfig, split: str = "train") -> SceneDataset:
     ) or _natsort(list((data_dir / "mono_depth").glob("*.npy")))
     conf_paths = _natsort(list((data_dir / "confidence").glob("*")))
 
+    import bisect
+
+    def _stem_index(paths: List[Path]):
+        order = sorted(range(len(paths)), key=lambda j: paths[j].stem)
+        stems = [paths[j].stem for j in order]
+        return order, stems
+
+    _stem_cache = {id(ps): _stem_index(ps)
+                   for ps in (normal_paths, depth_paths, conf_paths)}
+
     def prior_for(i: int, paths: List[Path]) -> Optional[Path]:
+        # Prefer filename-stem matching (robust to dropped frames and
+        # partially generated priors); fall back to natsorted index
+        # alignment, the reference's behavior.
+        stem = Path(frames_meta[i]["file_path"]).stem
+        order, stems = _stem_cache[id(paths)]
+        k = bisect.bisect_left(stems, stem)
+        if k < len(stems) and (stems[k] == stem
+                               or stems[k].startswith(stem + "_")):
+            return paths[order[k]]
         return paths[i] if i < len(paths) else None
 
     specs: List[FrameSpec] = []

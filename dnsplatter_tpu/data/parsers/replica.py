@@ -62,7 +62,13 @@ def parse(cfg: ReplicaParserConfig, split: str = "train") -> SceneDataset:
         poses, scale = auto_scale(poses)
 
     normal_dir = seq_dir / "normals_from_pretrain"
-    normal_paths = sorted(normal_dir.glob("*.png")) if normal_dir.exists() else []
+    # match priors by frame stem (frame000025 -> frame000025.png), NOT by
+    # position in the directory listing: priors generated only for the
+    # loaded (every-Nth) frames would otherwise shift onto wrong frames
+    normal_by_stem = (
+        {q.stem: q for q in normal_dir.glob("*.png")}
+        if normal_dir.exists() else {}
+    )
 
     indices = list(range(len(color_paths)))[:: cfg.load_every]
     eval_idx = indices[:: cfg.skip_every_for_val_split]
@@ -81,7 +87,7 @@ def parse(cfg: ReplicaParserConfig, split: str = "train") -> SceneDataset:
                 fx=cam["fx"], fy=cam["fy"], cx=cam["cx"], cy=cam["cy"],
                 width=cam["w"], height=cam["h"],
                 sensor_depth_path=depth_paths[i],
-                normal_path=normal_paths[i] if i < len(normal_paths) else None,
+                normal_path=normal_by_stem.get(color_paths[i].stem),
             )
         )
 

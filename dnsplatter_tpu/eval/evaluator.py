@@ -66,6 +66,23 @@ def evaluate(
                     "gt/depth", "gt/normal"):
             (output_dir / sub).mkdir(parents=True, exist_ok=True)
 
+    # point extraction is only useful when there is a reference cloud to
+    # compare against — don't render the train split for nothing
+    want_pcd = extract_pointcloud and reference_points is not None
+
+    def _frame_points(cam, out):
+        """World-space backprojection of a rendered depth (acc > 0.5),
+        strided — shared by the eval and train extraction loops."""
+        from dnsplatter_tpu.ops.camera import GL_TO_CV, backproject_depth
+
+        c2w_cv = jnp.asarray(cam.c2w) @ GL_TO_CV
+        pts = np.asarray(
+            backproject_depth(out["depth"][..., 0], cam.fx, cam.fy,
+                              cam.cx, cam.cy, c2w_cv)
+        ).reshape(-1, 3)
+        acc = np.asarray(out["accumulation"]).reshape(-1)
+        return pts[acc > 0.5][::pcd_stride]
+
     def _render_fn(cam):
         key = (cam.width, cam.height)
         if key not in render_fns:
@@ -87,6 +104,10 @@ def evaluate(
                 )
                 return out
 
+            # warm up OUTSIDE the timed window: the first call compiles
+            # (minutes on the tunneled TPU) and would make the first
+            # frame's fps/rays-per-sec garbage
+            jax.block_until_ready(fwd(params, alive, cam)["rgb"])
             render_fns[key] = fwd
         return render_fns[key]
 
@@ -97,7 +118,9 @@ def evaluate(
 
         t0 = time.perf_counter()
         out = render_fns[key](params, alive, cam)
-        jax.block_until_ready(out["rgb"])
+        # sync via a device->host scalar: block_until_ready is advisory
+        # through the TPU tunnel (CLAUDE.md)
+        float(jnp.max(out["rgb"]))
         dt = time.perf_counter() - t0
 
         row: Dict[str, float] = {}
@@ -114,24 +137,18 @@ def evaluate(
                 ).items()
             })
         if "normal" in batch:
-            pred_n = 2.0 * out["normal"] - 1.0
-            gt_n = 2.0 * jnp.asarray(batch["normal"]) - 1.0
+            # reference parity: NormalMetrics runs on the [0, 1]-ENCODED
+            # maps (dn_model.py:905-910) — do NOT decode to [-1, 1]
             row.update({
                 f"normal_{k}": v
-                for k, v in M.normal_metrics(pred_n, gt_n).items()
+                for k, v in M.normal_metrics(
+                    out["normal"], jnp.asarray(batch["normal"])
+                ).items()
             })
         per_image.append(row)
 
-        if extract_pointcloud:
-            from dnsplatter_tpu.ops.camera import backproject_depth
-
-            c2w_cv = np.asarray(cam.c2w) @ np.diag([1.0, -1.0, -1.0, 1.0])
-            pts = np.asarray(
-                backproject_depth(out["depth"][..., 0], cam.fx, cam.fy,
-                                  cam.cx, cam.cy, jnp.asarray(c2w_cv))
-            ).reshape(-1, 3)
-            acc = np.asarray(out["accumulation"]).reshape(-1)
-            pcd_pts.append(pts[acc > 0.5][::pcd_stride])
+        if want_pcd:
+            pcd_pts.append(_frame_points(cam, out))
 
         if save_renders and output_dir:
             from dnsplatter_tpu.data import io
@@ -170,23 +187,15 @@ def evaluate(
     if lpips_fn is None:
         agg["lpips_kind"] = M.default_lpips_kind()
 
-    if extract_pointcloud and pcd_train_data is not None:
+    if want_pcd and pcd_train_data is not None:
         # The reference extracts the cloud from train AND eval renders
         # (dn_pipeline.py:286-351) before the acc/comp protocol.
-        from dnsplatter_tpu.ops.camera import backproject_depth
-
         for i in range(len(pcd_train_data)):
             cam, _ = pcd_train_data.get(i)
             out = _render_fn(cam)(params, alive, cam)
-            c2w_cv = np.asarray(cam.c2w) @ np.diag([1.0, -1.0, -1.0, 1.0])
-            pts = np.asarray(
-                backproject_depth(out["depth"][..., 0], cam.fx, cam.fy,
-                                  cam.cx, cam.cy, jnp.asarray(c2w_cv))
-            ).reshape(-1, 3)
-            acc = np.asarray(out["accumulation"]).reshape(-1)
-            pcd_pts.append(pts[acc > 0.5][::pcd_stride])
+            pcd_pts.append(_frame_points(cam, out))
 
-    if extract_pointcloud and pcd_pts and reference_points is not None:
+    if want_pcd and pcd_pts:
         from dnsplatter_tpu.eval.icp import (
             icp as run_icp, load_icp_json, transform_points,
         )

@@ -82,25 +82,74 @@ def _raster_chunk(v0, v1, v2, zbuf, fx, fy, cx, cy, width, height, win):
     return zbuf
 
 
+def _screen_extent(tri, fx, fy, cx, cy):
+    """Conservative per-face screen bbox extent in pixels (np, camera
+    space); faces touching/behind the near plane report 0 (the kernel's
+    valid mask rejects them anyway)."""
+    z = np.maximum(tri[..., 2], 1e-6)
+    px = tri[..., 0] * fx / z + cx
+    py = tri[..., 1] * fy / z + cy
+    ext = np.maximum(px.max(1) - px.min(1), py.max(1) - py.min(1))
+    behind = (tri[..., 2] <= 1e-6).any(1)
+    return np.where(behind, 0.0, ext)
+
+
 def render_mesh_depth(
     vertices: np.ndarray,
     faces: np.ndarray,
     camera: Camera,
     chunk: int = 1 << 16,
 ) -> np.ndarray:
-    """(H, W) z-depth of the mesh from `camera` (inf where no surface)."""
+    """(H, W) z-depth of the mesh from `camera` (inf where no surface).
+
+    Faces are bucketed by screen-space bbox extent and rasterized with a
+    matching static pixel window (8 / 32 / 128); anything larger (raw
+    un-subdivided meshes seen up close, e.g. the Faro scans in
+    render_faro_depth) is midpoint-subdivided until it fits — a fixed
+    tiny window would silently truncate big triangles to their corner
+    and punch inf holes into the z-buffer, neutering the visibility
+    cull's occlusion test."""
     c2w_cv = np.asarray(camera.c2w) @ np.diag([1.0, -1.0, -1.0, 1.0])
     w2c_r = c2w_cv[:3, :3].T
     v_cam = (vertices - c2w_cv[:3, 3]) @ w2c_r.T
-    tri = v_cam[faces]  # (F, 3, 3)
+    tri = v_cam[faces].astype(np.float64)  # (F, 3, 3)
+    fx, fy = float(camera.fx), float(camera.fy)
+    cx, cy = float(camera.cx), float(camera.cy)
+
+    max_ext = 126.0  # window covers [floor(min), floor(min)+win-1]
+    for _ in range(12):  # halves extent per round; 12 covers any scene
+        ext = _screen_extent(tri, fx, fy, cx, cy)
+        big = ext > max_ext
+        if not big.any():
+            break
+        t = tri[big]
+        m01 = 0.5 * (t[:, 0] + t[:, 1])
+        m12 = 0.5 * (t[:, 1] + t[:, 2])
+        m20 = 0.5 * (t[:, 2] + t[:, 0])
+        quarters = np.concatenate([
+            np.stack([t[:, 0], m01, m20], 1),
+            np.stack([m01, t[:, 1], m12], 1),
+            np.stack([m20, m12, t[:, 2]], 1),
+            np.stack([m01, m12, m20], 1),
+        ])
+        tri = np.concatenate([tri[~big], quarters])
+    ext = _screen_extent(tri, fx, fy, cx, cy)
+
     zbuf = jnp.full((camera.width * camera.height + 1,), jnp.inf)
-    for s in range(0, len(tri), chunk):
-        e = min(s + chunk, len(tri))
-        zbuf = _raster_chunk(
-            jnp.asarray(tri[s:e, 0]), jnp.asarray(tri[s:e, 1]),
-            jnp.asarray(tri[s:e, 2]), zbuf,
-            float(camera.fx), float(camera.fy), float(camera.cx),
-            float(camera.cy), camera.width, camera.height, WIN,
-        )
+    buckets = {8: (-1.0, 6.0), 32: (6.0, 30.0), 128: (30.0, np.inf)}
+    for win in (8, 32, 128):
+        lo_b, hi_b = buckets[win]
+        sel = tri[(ext > lo_b) & (ext <= hi_b)]
+        if len(sel) == 0:
+            continue
+        win_chunk = max(256, chunk * 64 // (win * win))
+        for s in range(0, len(sel), win_chunk):
+            e = min(s + win_chunk, len(sel))
+            zbuf = _raster_chunk(
+                jnp.asarray(sel[s:e, 0], jnp.float32),
+                jnp.asarray(sel[s:e, 1], jnp.float32),
+                jnp.asarray(sel[s:e, 2], jnp.float32), zbuf,
+                fx, fy, cx, cy, camera.width, camera.height, win,
+            )
     out = np.asarray(zbuf[:-1]).reshape(camera.height, camera.width)
     return out

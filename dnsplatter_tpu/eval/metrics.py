@@ -85,14 +85,19 @@ def depth_metrics(pred: jax.Array, gt: jax.Array,
 
 
 def normal_metrics(pred: jax.Array, gt: jax.Array) -> Dict[str, float]:
-    """(H, W, 3) unit normal maps in [-1, 1]. Parity: metrics.py:152-183."""
+    """(H, W, 3) normal maps in the [0, 1] ENCODING, exactly as the
+    reference computes them (dn_model.py:897-917 passes the encoded maps
+    straight into NormalMetrics, metrics.py:152-183): mae is the arccos
+    of the clamped dot of the ENCODED vectors; rmse/mean/median are
+    component-value statistics of (gt - pred), not angles. Quirky, but
+    this is what the published tables report."""
     dots = jnp.clip(jnp.sum(pred * gt, axis=-1), -1.0, 1.0)
-    ang = jnp.arccos(dots)
+    diff = gt - pred
     return {
-        "mae": float(jnp.mean(ang)),
-        "rmse": float(jnp.sqrt(jnp.mean(ang**2))),
-        "mean_err": float(jnp.mean(ang)),
-        "median_err": float(jnp.median(ang)),
+        "mae": float(jnp.mean(jnp.arccos(dots))),
+        "rmse": float(jnp.sqrt(jnp.mean(diff**2))),
+        "mean_err": float(jnp.mean(jnp.abs(diff))),
+        "median_err": float(jnp.median(jnp.abs(diff))),
     }
 
 

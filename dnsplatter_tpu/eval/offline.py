@@ -106,6 +106,11 @@ def main(argv=None):
     if args.lpips_weights:
         lpips_fn = M.lpips_from_npz(args.lpips_weights)
     result = {}
+    if lpips_fn is None:
+        # surface WHAT the lpips number is: without a weights npz the
+        # fallback is a deterministic random-VGG perceptual distance,
+        # valid for relative comparisons only — not vs published tables
+        result["lpips_kind"] = M.default_lpips_kind()
     r = args.renders
     if (r / "pred/rgb").exists():
         result["rgb"] = rgb_eval(r / "pred/rgb", r / "gt/rgb", lpips_fn)

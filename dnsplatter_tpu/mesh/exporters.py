@@ -73,17 +73,19 @@ def find_depth_edges(depth: np.ndarray, threshold: float = 0.01,
                      dilation: int = 2) -> np.ndarray:
     """Laplacian depth-discontinuity mask (export_mesh.py:58-90)."""
     d = depth[..., 0] if depth.ndim == 3 else depth
+    # edge-clamped Laplacian/dilation: np.roll would wrap the image
+    # borders and flag spurious edges along every border row/column
+    pad = np.pad(d, 1, mode="edge")
     lap = (
         -4.0 * d
-        + np.roll(d, 1, 0) + np.roll(d, -1, 0)
-        + np.roll(d, 1, 1) + np.roll(d, -1, 1)
+        + pad[:-2, 1:-1] + pad[2:, 1:-1] + pad[1:-1, :-2] + pad[1:-1, 2:]
     )
     edges = np.abs(lap) > threshold
     for _ in range(dilation):
-        e = edges
+        ep = np.pad(edges, 1, mode="edge")
         edges = (
-            e | np.roll(e, 1, 0) | np.roll(e, -1, 0)
-            | np.roll(e, 1, 1) | np.roll(e, -1, 1)
+            edges | ep[:-2, 1:-1] | ep[2:, 1:-1]
+            | ep[1:-1, :-2] | ep[1:-1, 2:]
         )
     return edges
 
@@ -94,6 +96,25 @@ class TSDFExportConfig:
     sdf_trunc: float = 0.03
     depth_max: float = 5.0
     min_weight: float = 2.0
+    # dense-grid memory guard: the voxel size is raised so the grid never
+    # exceeds max_resolution^3 (the reference's Open3D/vdbfusion volumes
+    # are sparse; ours is dense, and camera-AABB + depth_max margins can
+    # span 15+ m -> 1500^3 cells at 1 cm would be ~67 GB)
+    max_resolution: int = 320
+
+
+class _IndexView:
+    """Length/get view of a dataset restricted to `indices`."""
+
+    def __init__(self, data, indices):
+        self._data = data
+        self._idx = list(indices)
+
+    def __len__(self):
+        return len(self._idx)
+
+    def get(self, i):
+        return self._data.get(self._idx[i])
 
 
 def export_tsdf(params, alive, data, output_dir: Path,
@@ -107,10 +128,12 @@ def export_tsdf(params, alive, data, output_dir: Path,
     cams = [data.get(i)[0] for i in range(len(data))]
     if bounds is None:
         bounds = tsdf_lib.scene_bounds_from_cameras(cams, cfg.depth_max)
+    span = float(np.max(np.asarray(bounds[1]) - np.asarray(bounds[0])))
+    voxel = max(cfg.voxel_size, span / cfg.max_resolution)
     vol = tsdf_lib.create_volume(
         bounds[0], bounds[1],
-        tsdf_lib.TSDFConfig(voxel_size=cfg.voxel_size,
-                            sdf_trunc=cfg.sdf_trunc),
+        tsdf_lib.TSDFConfig(voxel_size=voxel,
+                            sdf_trunc=max(cfg.sdf_trunc, 3 * voxel)),
     )
     for cam, out in _render_frames(params, alive, data, model_cfg, sh_degree):
         depth = np.asarray(out["depth"])
@@ -233,10 +256,12 @@ def export_sugar_coarse(params, alive, data, output_dir: Path,
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     acc: dict = {lv: ([], [], []) for lv in surface_levels}
-    frames = list(
-        _render_frames(params, alive, data, model_cfg, sh_degree)
-    )[::frame_stride]
-    for cam, out in frames:
+    # stride the INDICES before rendering (rendering everything and then
+    # slicing would do frame_stride times the work and hold every output)
+    idxs = list(range(len(data)))[::frame_stride]
+    strided = _IndexView(data, idxs)
+    for cam, out in _render_frames(params, alive, strided, model_cfg,
+                                   sh_degree):
         res = compute_level_surface_points(
             params, alive, cam, np.asarray(out["depth"]),
             np.asarray(out["rgb"]), surface_levels=surface_levels,
@@ -321,8 +346,10 @@ def export_isofusion(params, alive, data, output_dir: Path,
     vol = fuse_normal_weighted(
         frames, bounds, IsoFusionConfig(voxel_size=voxel_size)
     )
-    verts, faces, cols = extract(vol)
-    io.write_ply(out_path, verts, colors=cols, faces=faces)
+    verts, faces, _ = extract(vol)
+    # normal-weighted fusion integrates no color — omit the property
+    # rather than writing an all-black mesh
+    io.write_ply(out_path, verts, faces=faces)
     return out_path
 
 

@@ -40,8 +40,10 @@ def depth_validity_mask(depth: np.ndarray, rel: float = 0.1) -> np.ndarray:
     (isooctree_dn.py:19-45)."""
     d = depth[..., 0] if depth.ndim == 3 else depth
     ok = d > 0
-    for ax, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
-        nb = np.roll(d, sh, axis=ax)
+    # edge-clamped neighbour diffs: np.roll would wrap borders around and
+    # compare e.g. the first row against the last (spuriously invalid)
+    pad = np.pad(d, 1, mode="edge")
+    for nb in (pad[:-2, 1:-1], pad[2:, 1:-1], pad[1:-1, :-2], pad[1:-1, 2:]):
         ok &= np.abs(nb - d) <= rel * np.maximum(d, 1e-6)
     return ok
 

@@ -53,12 +53,6 @@ def _splat_field(points01: jnp.ndarray, normals: jnp.ndarray,
     return grid
 
 
-def _gaussian_blur3(field: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Separable FFT-free blur via frequency-domain multiply (we already
-    FFT for the solve, so blur spectrally)."""
-    return field  # handled spectrally in solve
-
-
 @jax.jit
 def _solve_poisson(vfield: jnp.ndarray, sigma_vox: float,
                    screening: float) -> jnp.ndarray:

@@ -15,23 +15,30 @@ import jax.numpy as jnp
 from dnsplatter_tpu.ops.camera import Camera
 
 
-def so3_exp(phi: jax.Array, eps: float = 1e-8) -> jax.Array:
-    """Rodrigues exponential map: (..., 3) -> (..., 3, 3)."""
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
-    theta_safe = jnp.maximum(theta, eps)
-    axis = phi / theta_safe
-    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+def so3_exp(phi: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Rodrigues exponential map: (..., 3) -> (..., 3, 3).
+
+    Written in the NaN-free form R = I + a*S + b*S^2 with S = skew(phi)
+    UN-normalized and a = sin(t)/t, b = (1-cos(t))/t^2 switched to their
+    Taylor series near zero: the double-where guards both the value AND
+    the gradient at phi = 0 (jnp.linalg.norm has a NaN gradient there,
+    and the trainer initializes camera tangents at exactly zero)."""
+    x, y, z = phi[..., 0], phi[..., 1], phi[..., 2]
     zeros = jnp.zeros_like(x)
-    k = jnp.stack(
+    s_mat = jnp.stack(
         [zeros, -z, y, z, zeros, -x, -y, x, zeros], axis=-1
     ).reshape(phi.shape[:-1] + (3, 3))
-    s = jnp.sin(theta)[..., None]
-    c = jnp.cos(theta)[..., None]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), k.shape)
-    rot = eye + s * k + (1.0 - c) * (k @ k)
-    # Near zero: first-order I + K.
-    small = (theta < eps)[..., None]
-    return jnp.where(small, eye + k, rot)
+    t2 = jnp.sum(phi * phi, axis=-1)  # theta^2 (smooth at 0)
+    small = t2 < eps
+    # where-guard the sqrt input so the non-taken branch never sees 0
+    t2_safe = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(t2_safe)
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - t2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / t2_safe)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), s_mat.shape)
+    return (eye + a[..., None, None] * s_mat
+            + b[..., None, None] * (s_mat @ s_mat))
 
 
 def exp_map_so3xr3(tangent: jax.Array) -> jax.Array:

@@ -172,9 +172,12 @@ def init_random(
     capacity: Optional[int] = None,
 ) -> Tuple[GaussianParams, jax.Array, jax.Array]:
     """Random fallback init: uniform in [-extent, extent]^3 (dn_model.py:135)."""
-    kp, kc = jax.random.split(key)
+    kp, kc, kq = jax.random.split(key, 3)
     pts = np.asarray(
         jax.random.uniform(kp, (num_points, 3), minval=-extent, maxval=extent)
     )
     cols = np.asarray(jax.random.uniform(kc, (num_points, 3)))
-    return init_from_points(key, pts, cols, sh_degree=sh_degree, capacity=capacity)
+    # pass a FRESH key: re-using `key` would make init_from_points' own
+    # splits collide with kp/kc (correlated colors and quaternions)
+    return init_from_points(kq, pts, cols, sh_degree=sh_degree,
+                            capacity=capacity)

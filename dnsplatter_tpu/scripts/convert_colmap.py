@@ -14,6 +14,8 @@ from pathlib import Path
 
 import numpy as np
 
+from dnsplatter_tpu.data.colmap_utils import rotmat_to_qvec
+
 
 def run_colmap(image_dir: Path, out_dir: Path, matcher: str = "sequential",
                camera_model: str = "OPENCV") -> Path:
@@ -61,7 +63,7 @@ def poses_to_colmap_text(
             cv = np.asarray(c2w) @ np.diag([1.0, -1.0, -1.0, 1.0])
             rot = cv[:3, :3].T  # world-to-camera
             t = -rot @ cv[:3, 3]
-            q = _rotmat_to_qvec(rot)
+            q = rotmat_to_qvec(rot)
             f.write(
                 f"{i + 1} {q[0]} {q[1]} {q[2]} {q[3]} "
                 f"{t[0]} {t[1]} {t[2]} 1 {name}\n\n"
@@ -69,23 +71,6 @@ def poses_to_colmap_text(
     (out_dir / "points3D.txt").write_text("")
 
 
-def _rotmat_to_qvec(m: np.ndarray) -> np.ndarray:
-    t = np.trace(m)
-    if t > 0:
-        s = 0.5 / np.sqrt(t + 1.0)
-        return np.array(
-            [0.25 / s, (m[2, 1] - m[1, 2]) * s, (m[0, 2] - m[2, 0]) * s,
-             (m[1, 0] - m[0, 1]) * s]
-        )
-    i = int(np.argmax(np.diag(m)))
-    j, k = (i + 1) % 3, (i + 2) % 3
-    s = 2.0 * np.sqrt(max(1.0 + m[i, i] - m[j, j] - m[k, k], 1e-12))
-    q = np.zeros(4)
-    q[0] = (m[k, j] - m[j, k]) / s
-    q[1 + i] = 0.25 * s
-    q[1 + j] = (m[j, i] + m[i, j]) / s
-    q[1 + k] = (m[k, i] + m[i, k]) / s
-    return q
 
 
 def main(argv=None):

@@ -89,7 +89,7 @@ def main(argv=None):
         normal = io.read_normal(npth, format="omnidata")
         mask = consistency_mask(depth, normal, args.fx, args.fy,
                                 args.cx, args.cy, args.angle_thresh)
-        io.write_image(out_dir / f"{dp.stem}.jpg", mask[..., None] / 255.0)
+        io.write_image(out_dir / f"{dp.stem}.png", mask[..., None] / 255.0)
     print(f"wrote {len(depths)} masks to {out_dir}")
 
 

@@ -24,26 +24,9 @@ from pathlib import Path
 
 import numpy as np
 
+from dnsplatter_tpu.data.colmap_utils import rotmat_to_qvec
 
-def rotmat_to_qvec(r: np.ndarray) -> np.ndarray:
-    """(w, x, y, z) quaternion from a rotation matrix (COLMAP order)."""
-    rxx, ryx, rzx, rxy, ryy, rzy, rxz, ryz, rzz = r.flat
-    k = (
-        np.array(
-            [
-                [rxx - ryy - rzz, 0, 0, 0],
-                [ryx + rxy, ryy - rxx - rzz, 0, 0],
-                [rzx + rxz, rzy + ryz, rzz - rxx - ryy, 0],
-                [ryz - rzy, rzx - rxz, rxy - ryx, rxx + ryy + rzz],
-            ]
-        )
-        / 3.0
-    )
-    eigvals, eigvecs = np.linalg.eigh(k)
-    qvec = eigvecs[[3, 0, 1, 2], np.argmax(eigvals)]
-    if qvec[0] < 0:
-        qvec *= -1
-    return qvec
+
 
 
 def write_sparse_model(

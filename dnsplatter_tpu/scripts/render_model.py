@@ -14,13 +14,13 @@ import numpy as np
 
 def colormap_depth(depth: np.ndarray, near=None, far=None) -> np.ndarray:
     """Turbo-less simple viridis-like colormap via matplotlib."""
-    import matplotlib.cm as cm
+    import matplotlib
 
     d = depth[..., 0] if depth.ndim == 3 else depth
     lo = near if near is not None else np.percentile(d[d > 0], 2) if (d > 0).any() else 0
     hi = far if far is not None else np.percentile(d[d > 0], 98) if (d > 0).any() else 1
     norm = np.clip((d - lo) / max(hi - lo, 1e-8), 0, 1)
-    return cm.get_cmap("viridis")(norm)[..., :3]
+    return matplotlib.colormaps["viridis"](norm)[..., :3]
 
 
 def main(argv=None):

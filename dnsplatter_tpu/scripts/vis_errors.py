@@ -13,11 +13,11 @@ import numpy as np
 
 
 def error_heatmap(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
-    import matplotlib.cm as cm
+    import matplotlib
 
     err = np.abs(pred - gt).mean(-1) if pred.ndim == 3 else np.abs(pred - gt)
     hi = max(np.percentile(err, 99), 1e-8)
-    return cm.get_cmap("inferno")(np.clip(err / hi, 0, 1))[..., :3]
+    return matplotlib.colormaps["inferno"](np.clip(err / hi, 0, 1))[..., :3]
 
 
 def main(argv=None):

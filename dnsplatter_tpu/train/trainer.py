@@ -72,6 +72,11 @@ class TrainConfig:
     viewer: bool = False
     viewer_port: int = 7007
     tensorboard: bool = False
+    # Keep each frame's batch device-resident after its first upload
+    # (host->device transfers through the TPU tunnel run at ~30 MB/s and
+    # would otherwise dominate the step time on real datasets). Disable
+    # for datasets larger than spare HBM.
+    cache_batches_on_device: bool = True
 
 
 def make_train_step(
@@ -193,6 +198,7 @@ class Trainer:
         self.train_cfg = train_cfg
         self.out_dir = Path(out_dir) if out_dir else None
         self.key = jax.random.PRNGKey(train_cfg.seed)
+        self._batch_cache: Dict[int, tuple] = {}
 
         self.key, kinit = jax.random.split(self.key)
         if seed_points is not None:
@@ -393,8 +399,8 @@ class Trainer:
             else:
                 fn = self._get_step_fn(cam, sh)
                 self.key, kstep = jax.random.split(self.key)
-                batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
                 cam_i = self.step % n
+                batch_j = self._device_batch(cam_i, batch)
                 self.params, self.adam, self.stats, loss, ld, gadj = fn(
                     self.params, self.alive, self.adam, self.stats, cam,
                     batch_j, jnp.asarray(self.step, jnp.int32), kstep,
@@ -404,7 +410,7 @@ class Trainer:
                     self._cam_opt_update(cam_i, np.asarray(gadj))
                 self.step += 1
             self._refinement(cam)
-            if self.step % log_every == 0 or self.step == total:
+            if self.step % log_every == 0 or self.step == target:
                 loss_v = float(loss)
                 n_alive = int(jnp.sum(self.alive))
                 dt = time.time() - t0
@@ -447,6 +453,22 @@ class Trainer:
             self.save_checkpoint()
         return self._history
 
+    def _device_batch(self, idx: int, batch) -> dict:
+        """Device-resident copy of frame `idx`'s batch, cached: the
+        tunneled TPU moves ~30 MB/s, so re-uploading a full-resolution
+        rgb+depth+normal batch every revisit would dominate wall-clock.
+        Invalidated when the served batch's keys/shape change (e.g. the
+        downscale schedule)."""
+        if not self.train_cfg.cache_batches_on_device:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        sig = tuple(sorted((k, np.shape(v)) for k, v in batch.items()))
+        hit = self._batch_cache.get(idx)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        self._batch_cache[idx] = (sig, dev)
+        return dev
+
     def _dispatch_multi(self, cam0: Camera, sh: int, k: int, n: int) -> float:
         """Run k sequential steps in one device dispatch (lax.scan)."""
         key = (cam0.width, cam0.height, sh, k, "multi")
@@ -458,8 +480,10 @@ class Trainer:
         idxs = [(self.step + j) % n for j in range(k)]
         cams, batches = zip(*[self.data.get(i) for i in idxs])
         cam_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+        dev_batches = [self._device_batch(i, b)
+                       for i, b in zip(idxs, batches)]
         batch_stack = {
-            kk: jnp.stack([jnp.asarray(b[kk]) for b in batches])
+            kk: jnp.stack([b[kk] for b in dev_batches])
             for kk in batches[0]
         }
         self.key, *keys = jax.random.split(self.key, k + 1)

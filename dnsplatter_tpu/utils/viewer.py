@@ -63,7 +63,7 @@ class ViewerState:
         with self.lock:
             if stats:
                 self.stats.update({
-                    k: (float(v) if isinstance(v, (int, float, np.floating))
+                    k: (float(v) if isinstance(v, (int, float, np.floating, np.integer))
                         else str(v))
                     for k, v in stats.items()
                 })
@@ -79,7 +79,8 @@ def _encode_png(arr: np.ndarray) -> bytes:
     if a.ndim == 3 and a.shape[-1] == 1:
         a = a[..., 0]
     if a.ndim == 2:  # depth: normalize for display
-        lo, hi = np.nanmin(a), np.nanmax(a)
+        a = np.nan_to_num(a, nan=0.0, posinf=0.0, neginf=0.0)
+        lo, hi = float(a.min()), float(a.max())
         a = (a - lo) / max(hi - lo, 1e-9)
         a = np.stack([a] * 3, -1)
     buf = _io.BytesIO()

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import json
 import struct
+
+import numpy as np
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -130,7 +132,7 @@ class TensorboardWriter:
 
     def write_scalars(self, step: int, scalars: Dict[str, float]) -> None:
         clean = {k: float(v) for k, v in scalars.items()
-                 if isinstance(v, (int, float))}
+                 if isinstance(v, (int, float, np.floating, np.integer))}
         if clean:
             self._write_record(_event(step=step, scalars=clean))
 
@@ -150,7 +152,9 @@ class JsonlWriter:
     def write_scalars(self, step: int, scalars: Dict[str, float]) -> None:
         row = {"step": step}
         row.update({
-            k: (float(v) if isinstance(v, (int, float)) else v)
+            k: (float(v)
+                if isinstance(v, (int, float, np.floating, np.integer))
+                else v)
             for k, v in scalars.items()
         })
         self._f.write(json.dumps(row) + "\n")

@@ -178,3 +178,26 @@ def test_export_isofusion_adaptive(tmp_path):
     assert len(mesh["points"]) > 50
     assert len(mesh["faces"]) > 50
     assert np.isfinite(mesh["points"]).all()
+
+
+def test_render_mesh_depth_large_faces_no_holes():
+    """A big close-up quad (un-subdivided, screen extent >> 8 px) must
+    fill its whole projection — a fixed tiny per-face window would leave
+    inf holes and neuter the visibility cull's occlusion test."""
+    import numpy as np
+
+    from dnsplatter_tpu.eval.mesh_render import render_mesh_depth
+    from dnsplatter_tpu.ops.camera import Camera
+
+    w = h = 64
+    cam = Camera.create(
+        fx=80.0, fy=80.0, cx=w / 2, cy=h / 2, width=w, height=h,
+        c2w=np.eye(4),
+    )
+    # OpenGL camera looks down -z: a 4x4 m wall at z=-2 covers the frame
+    v = np.array([[-2, -2, -2], [2, -2, -2], [2, 2, -2], [-2, 2, -2]],
+                 np.float64)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    z = render_mesh_depth(v, f, cam)
+    assert np.isfinite(z).all(), f"{(~np.isfinite(z)).sum()} hole pixels"
+    np.testing.assert_allclose(z, 2.0, atol=1e-3)

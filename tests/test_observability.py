@@ -99,3 +99,26 @@ def test_trainer_writers_integration(tmp_path):
     png = urllib.request.urlopen(f"{base}/rgb.png").read()
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
     tr.viewer.close()
+
+
+def test_writers_accept_numpy_scalars(tmp_path):
+    """np.float32 / np.int64 metric values must neither crash the JSONL
+    writer nor be silently dropped by the tfevents writer."""
+    import json as _json
+
+    import numpy as _np
+
+    from dnsplatter_tpu.utils.writers import JsonlWriter, TensorboardWriter
+
+    jw = JsonlWriter(tmp_path)
+    jw.write_scalars(1, {"a": _np.float32(0.5), "b": _np.int64(3),
+                         "c": 1.0, "note": "x"})
+    jw.close()
+    row = _json.loads(jw.path.read_text().splitlines()[-1])
+    assert row["a"] == 0.5 and row["b"] == 3.0 and row["note"] == "x"
+
+    tw = TensorboardWriter(tmp_path)
+    tw.write_scalars(1, {"a": _np.float32(0.5), "b": _np.int64(3)})
+    tw.close()
+    data = next(tmp_path.glob("events.out.tfevents.*")).read_bytes()
+    assert b"a" in data and b"b" in data

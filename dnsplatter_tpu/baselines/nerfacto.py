@@ -130,8 +130,10 @@ def camera_rays(camera, pixels: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """pixels (R, 2) int (x, y) -> world-space (origins, unit dirs)."""
     x = (pixels[:, 0].astype(jnp.float32) + 0.5 - camera.cx) / camera.fx
     y = (pixels[:, 1].astype(jnp.float32) + 0.5 - camera.cy) / camera.fy
+    from dnsplatter_tpu.ops.camera import GL_TO_CV
+
     d_cam = jnp.stack([x, y, jnp.ones_like(x)], -1)  # OpenCV frame
-    c2w_cv = camera.c2w @ jnp.diag(jnp.array([1.0, -1.0, -1.0, 1.0]))
+    c2w_cv = camera.c2w @ GL_TO_CV
     d_world = d_cam @ c2w_cv[:3, :3].T
     d_world = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
     o = jnp.broadcast_to(c2w_cv[:3, 3], d_world.shape)

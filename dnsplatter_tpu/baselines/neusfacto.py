@@ -52,23 +52,40 @@ def init_params(key: jax.Array, cfg: NeuSConfig) -> NeuSParams:
     )
 
 
-def sdf_fn(params: NeuSParams, cfg: NeuSConfig, pts: jax.Array) -> jax.Array:
+def _field_h(params: NeuSParams, cfg: NeuSConfig, pts: jax.Array) -> jax.Array:
+    """(…, 1 + geo_feat) raw field head: [sdf residual, geo features]."""
     x01 = jnp.clip(pts / (2 * cfg.scene_scale) + 0.5, 0.0, 1.0)
     enc = F.hash_encode(params.tables, x01, cfg.hash)
-    h = F.mlp(params.sdf_mlp, jnp.concatenate([enc, pts], -1))
+    return F.mlp(params.sdf_mlp, jnp.concatenate([enc, pts], -1))
+
+
+def sdf_fn(params: NeuSParams, cfg: NeuSConfig, pts: jax.Array) -> jax.Array:
+    h = _field_h(params, cfg, pts)
     # geometric init bias: sphere-ish SDF at start
     return h[..., 0] + (jnp.linalg.norm(pts, axis=-1) - 1.0)
 
 
 def sdf_and_grad(params, cfg, pts):
+    sdf, _, grad = sdf_geo_and_grad(params, cfg, pts)
+    return sdf, grad
+
+
+def sdf_geo_and_grad(params, cfg, pts):
+    """One field evaluation for (sdf, geo features, sdf gradient):
+    value_and_grad shares the forward between the value and the gradient,
+    and the aux output carries the geo features the color head needs —
+    the naive formulation evaluated the hash-encode + MLP three times."""
     flat = pts.reshape(-1, 3)
 
     def f(p):
-        return sdf_fn(params, cfg, p[None])[0]
+        h = _field_h(params, cfg, p[None])[0]
+        sdf = h[0] + (jnp.linalg.norm(p) - 1.0)
+        return sdf, h[1:]
 
-    sdf = sdf_fn(params, cfg, flat)
-    grad = jax.vmap(jax.grad(f))(flat)
-    return sdf.reshape(pts.shape[:-1]), grad.reshape(pts.shape)
+    (sdf, geo), grad = jax.vmap(jax.value_and_grad(f, has_aux=True))(flat)
+    return (sdf.reshape(pts.shape[:-1]),
+            geo.reshape(pts.shape[:-1] + (geo.shape[-1],)),
+            grad.reshape(pts.shape))
 
 
 def render_rays(params: NeuSParams, cfg: NeuSConfig, origins, dirs, key):
@@ -79,7 +96,7 @@ def render_rays(params: NeuSParams, cfg: NeuSConfig, origins, dirs, key):
         (cfg.far - cfg.near) / cfg.n_samples
     )
     pts = origins[:, None] + ts[..., None] * dirs[:, None]
-    sdf, grad = sdf_and_grad(params, cfg, pts)
+    sdf, geo, grad = sdf_geo_and_grad(params, cfg, pts)
 
     # NeuS alpha from logistic CDF of SDF along the ray
     inv_s = jnp.exp(params.inv_s)
@@ -99,9 +116,6 @@ def render_rays(params: NeuSParams, cfg: NeuSConfig, origins, dirs, key):
     normal = grad * jax.lax.rsqrt(
         jnp.sum(grad * grad, axis=-1, keepdims=True) + 1e-12
     )
-    x01 = jnp.clip(pts / (2 * cfg.scene_scale) + 0.5, 0.0, 1.0)
-    enc = F.hash_encode(params.tables, x01, cfg.hash)
-    geo = F.mlp(params.sdf_mlp, jnp.concatenate([enc, pts], -1))[..., 1:]
     denc = jnp.broadcast_to(
         F.sh_dir_encode(dirs)[:, None, :], pts.shape[:-1] + (9,)
     )

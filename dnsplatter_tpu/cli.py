@@ -37,17 +37,26 @@ def _load_dataset(name: str, data: Path, split: str):
     # Each parser has a sibling *ParserConfig dataclass as first arg default.
     import inspect
 
+    # deterministic config discovery: prefer the parse function's own
+    # signature annotation; fall back to the *ParserConfig dataclass
+    # DEFINED in that module (module filter: imported sibling configs
+    # must not win on dict order)
     sig = inspect.signature(parse)
     cfg_cls = None
-    mod = sys.modules[parse.__module__]
-    for obj in vars(mod).values():
-        if (
-            isinstance(obj, type)
-            and dataclasses.is_dataclass(obj)
-            and obj.__name__.endswith("ParserConfig")
-        ):
-            cfg_cls = obj
-            break
+    first = next(iter(sig.parameters.values()), None)
+    if first is not None and dataclasses.is_dataclass(first.annotation):
+        cfg_cls = first.annotation
+    if cfg_cls is None:
+        mod = sys.modules[parse.__module__]
+        for obj in vars(mod).values():
+            if (
+                isinstance(obj, type)
+                and dataclasses.is_dataclass(obj)
+                and obj.__name__.endswith("ParserConfig")
+                and obj.__module__ == parse.__module__
+            ):
+                cfg_cls = obj
+                break
     cfg = cfg_cls(data=data) if cfg_cls else None
     return parse(cfg, split)
 
@@ -68,7 +77,7 @@ def cmd_train(argv):
     model_cfg = build_dataclass(ModelConfig, args, "model", base_model)
     train_cfg = build_dataclass(TrainConfig, args, "train", TrainConfig())
     optim_cfg = build_dataclass(OptimConfig, args, "optim", OptimConfig())
-    if args.max_iterations:
+    if args.max_iterations is not None:
         train_cfg = dataclasses.replace(
             train_cfg, max_iterations=args.max_iterations
         )

@@ -41,10 +41,20 @@ def _parse_value(text: str, typ) -> Any:
         return text.lower() in ("1", "true", "yes", "on")
     if typ is Path:
         return Path(text)
+    if typ is str or not callable(typ):
+        return text
     try:
         return typ(text)
-    except Exception:
-        return text
+    except (TypeError, ValueError):
+        # ints written as floats ("1e5", "2.0") are a common CLI habit
+        if typ is int:
+            f = float(text)  # raises loudly if not numeric at all
+            if f != int(f):
+                raise ValueError(f"expected an integer, got {text!r}")
+            return int(f)
+        raise ValueError(
+            f"could not parse {text!r} as {getattr(typ, '__name__', typ)}"
+        )
 
 
 def add_dataclass_args(parser: argparse.ArgumentParser, cls: Type,

@@ -153,7 +153,9 @@ def backproject_depth(
     pts = jnp.stack([x, y, depth], axis=-1)
     if c2w is not None:
         rot = c2w[:3, :3]
-        pts = pts @ jnp.linalg.inv(rot) + c2w[:3, 3]
+        # rotation inverse == transpose (a general LU inverse costs more
+        # and adds rounding): p_w = p_c @ R^{-1} = p_c @ R^T (row vectors)
+        pts = pts @ rot.T + c2w[:3, 3]
     return pts
 
 

@@ -72,12 +72,15 @@ def tile_sharded_render(
     c2w_rot = camera.c2w[:3, :3]
 
     def worker(p_shard: GaussianParams, alive_shard: jax.Array):
+        opac = jax.nn.sigmoid(p_shard.opacities)
+        # opacity-aware per-axis radii (same tightening as the
+        # single-chip path) — untightened circular bboxes would inflate
+        # the pair lists and overflow the divided slab capacity early
         proj = project_gaussians(
             p_shard.means, p_shard.quats, jnp.exp(p_shard.scales), viewmat,
             camera.fx, camera.fy, camera.cx, camera.cy,
-            cfg.width, cfg.height,
+            cfg.width, cfg.height, opacities=opac,
         )
-        opac = jax.nn.sigmoid(p_shard.opacities)
         viewdirs = p_shard.means - cam_pos[None, :]
         colors = eval_sh(sh_degree, p_shard.sh_coeffs(), viewdirs)
         from dnsplatter_tpu.ops.normals import per_gaussian_normals
@@ -92,7 +95,7 @@ def tile_sharded_render(
 
         payload = jnp.concatenate(
             [proj.means2d, proj.conics, proj.depths[:, None],
-             opac[:, None], proj.radii[:, None], validf[:, None], feats],
+             opac[:, None], proj.radii_xy, validf[:, None], feats],
             axis=-1,
         )
         payload_all = jax.lax.all_gather(payload, axis, tiled=True)  # (N, .)
@@ -105,9 +108,9 @@ def tile_sharded_render(
         conics = payload_all[:, 2:5]
         depths = payload_all[:, 5]
         opac_all = payload_all[:, 6]
-        radii = payload_all[:, 7]
-        valid_all = payload_all[:, 8]
-        feats_all = payload_all[:, 9:]
+        radii = payload_all[:, 7:9]  # per-axis (x, y) extents
+        valid_all = payload_all[:, 9]
+        feats_all = payload_all[:, 10:]
 
         img, alpha = rasterize(
             m2d, conics, depths, opac_all, feats_all, valid_all, slab_cfg,

@@ -31,7 +31,7 @@ tr = Trainer(
                           backend="auto"),
 )
 t0 = time.time()
-tr.train(num_steps=10, log_every=10)   # compile + first dispatch
+tr.train(num_steps=50, log_every=50)   # compile + first dispatch
 t_compile = time.time() - t0
 t0 = time.time()
 tr.train(num_steps=100, log_every=50)

@@ -19,7 +19,7 @@ import numpy as np
 
 from dnsplatter_tpu.ops.camera import Camera
 
-WIN = 8  # per-face pixel window (subdivided eval meshes have tiny faces)
+WIN = 8  # legacy default window (rendering now buckets by extent)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "win"))
@@ -153,3 +153,165 @@ def render_mesh_depth(
             )
     out = np.asarray(zbuf[:-1]).reshape(camera.height, camera.width)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "win", "c"))
+def _attr_chunk(v0, v1, v2, a0, a1, a2, zbuf, abuf, fx, fy, cx, cy,
+                width, height, win, c):
+    """Resolve pass: write barycentric-interpolated vertex attributes for
+    pixels whose z matches the first-pass z-buffer (within tolerance)."""
+
+    def proj(v):
+        z = jnp.maximum(v[:, 2], 1e-6)
+        return jnp.stack(
+            [v[:, 0] * fx / z + cx, v[:, 1] * fy / z + cy], -1
+        ), v[:, 2]
+
+    p0, z0 = proj(v0)
+    p1, z1 = proj(v1)
+    p2, z2 = proj(v2)
+    valid = (v0[:, 2] > 1e-6) & (v1[:, 2] > 1e-6) & (v2[:, 2] > 1e-6)
+
+    lo = jnp.floor(jnp.minimum(jnp.minimum(p0, p1), p2)).astype(jnp.int32)
+    oy = jax.lax.broadcasted_iota(jnp.int32, (win, win), 0)
+    ox = jax.lax.broadcasted_iota(jnp.int32, (win, win), 1)
+    pxi = lo[:, None, None, 0] + ox[None]
+    pyi = lo[:, None, None, 1] + oy[None]
+    px = pxi.astype(jnp.float32) + 0.5
+    py = pyi.astype(jnp.float32) + 0.5
+
+    def edge(a, b):
+        return (b[:, None, None, 0] - a[:, None, None, 0]) * (
+            py - a[:, None, None, 1]
+        ) - (b[:, None, None, 1] - a[:, None, None, 1]) * (
+            px - a[:, None, None, 0]
+        )
+
+    w0 = edge(p1, p2)
+    w1 = edge(p2, p0)
+    w2 = edge(p0, p1)
+    area = (
+        (p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1])
+        - (p1[:, 1] - p0[:, 1]) * (p2[:, 0] - p0[:, 0])
+    )[:, None, None]
+    area_safe = jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
+    b0 = w0 / area_safe
+    b1 = w1 / area_safe
+    b2 = w2 / area_safe
+    inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0)
+    zc = (
+        b0 * z0[:, None, None] + b1 * z1[:, None, None]
+        + b2 * z2[:, None, None]
+    )
+    on_img = (pxi >= 0) & (pxi < width) & (pyi >= 0) & (pyi < height)
+    flat = jnp.where(on_img, pyi * width + pxi, width * height)
+    zwin = zbuf[flat]
+    ok = (
+        inside & on_img & valid[:, None, None] & (zc > 1e-6)
+        & (zc <= zwin * (1.0 + 1e-4) + 1e-5)
+    )
+    attr = (
+        b0[..., None] * a0[:, None, None, :]
+        + b1[..., None] * a1[:, None, None, :]
+        + b2[..., None] * a2[:, None, None, :]
+    )  # (F, win, win, C)
+    idx = jnp.where(ok, flat, width * height)
+    abuf = abuf.at[idx.reshape(-1)].set(
+        attr.reshape(-1, c), mode="drop"
+    )
+    return abuf
+
+
+def render_mesh_attributes(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    vertex_attrs: np.ndarray,
+    camera: Camera,
+    chunk: int = 1 << 16,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Render per-vertex attributes (e.g. normals) with barycentric
+    interpolation: returns (depth (H, W), attrs (H, W, C); zeros where no
+    surface). The pyrender/pytorch3d role in the reference's gt normal
+    renderers (data/mushroom_utils/render_faro_nm.py,
+    data/replica_utils/render_normals.py): first a z-buffer pass, then a
+    resolve pass keeps attributes whose depth matches the buffer."""
+    zimg = render_mesh_depth(vertices, faces, camera, chunk)
+    c2w_cv = np.asarray(camera.c2w) @ np.diag([1.0, -1.0, -1.0, 1.0])
+    w2c_r = c2w_cv[:3, :3].T
+    v_cam = (vertices - c2w_cv[:3, 3]) @ w2c_r.T
+    tri = v_cam[faces].astype(np.float64)
+    attrs = np.asarray(vertex_attrs, np.float32)
+    if attrs.ndim == 1:
+        attrs = attrs[:, None]
+    fattr = attrs[faces]  # (F, 3, C)
+    fx, fy = float(camera.fx), float(camera.fy)
+    cx, cy = float(camera.cx), float(camera.cy)
+
+    # resolve pass shares the depth pass's bucketing idea but NOT its
+    # subdivision (attribute interpolation is linear, so splitting is
+    # only needed to bound the window): subdivide attrs alongside.
+    max_ext = 126.0
+    for _ in range(12):
+        ext = _screen_extent(tri, fx, fy, cx, cy)
+        big = ext > max_ext
+        if not big.any():
+            break
+        t = tri[big]
+        fa = fattr[big]
+        m01, a01 = 0.5 * (t[:, 0] + t[:, 1]), 0.5 * (fa[:, 0] + fa[:, 1])
+        m12, a12 = 0.5 * (t[:, 1] + t[:, 2]), 0.5 * (fa[:, 1] + fa[:, 2])
+        m20, a20 = 0.5 * (t[:, 2] + t[:, 0]), 0.5 * (fa[:, 2] + fa[:, 0])
+        tri = np.concatenate([
+            tri[~big],
+            np.stack([t[:, 0], m01, m20], 1),
+            np.stack([m01, t[:, 1], m12], 1),
+            np.stack([m20, m12, t[:, 2]], 1),
+            np.stack([m01, m12, m20], 1),
+        ])
+        fattr = np.concatenate([
+            fattr[~big],
+            np.stack([fa[:, 0], a01, a20], 1),
+            np.stack([a01, fa[:, 1], a12], 1),
+            np.stack([a20, a12, fa[:, 2]], 1),
+            np.stack([a01, a12, a20], 1),
+        ])
+    ext = _screen_extent(tri, fx, fy, cx, cy)
+
+    cdim = fattr.shape[-1]
+    zflat = jnp.concatenate(
+        [jnp.asarray(zimg.reshape(-1), jnp.float32), jnp.full((1,), jnp.inf)]
+    )
+    abuf = jnp.zeros((camera.width * camera.height + 1, cdim), jnp.float32)
+    buckets = {8: (-1.0, 6.0), 32: (6.0, 30.0), 128: (30.0, np.inf)}
+    for win in (8, 32, 128):
+        lo_b, hi_b = buckets[win]
+        m = (ext > lo_b) & (ext <= hi_b)
+        sel, sattr = tri[m], fattr[m]
+        if len(sel) == 0:
+            continue
+        win_chunk = max(256, chunk * 64 // (win * win))
+        for s0 in range(0, len(sel), win_chunk):
+            e0 = min(s0 + win_chunk, len(sel))
+            abuf = _attr_chunk(
+                jnp.asarray(sel[s0:e0, 0], jnp.float32),
+                jnp.asarray(sel[s0:e0, 1], jnp.float32),
+                jnp.asarray(sel[s0:e0, 2], jnp.float32),
+                jnp.asarray(sattr[s0:e0, 0]), jnp.asarray(sattr[s0:e0, 1]),
+                jnp.asarray(sattr[s0:e0, 2]), zflat, abuf,
+                fx, fy, cx, cy, camera.width, camera.height, win, cdim,
+            )
+    out = np.asarray(abuf[:-1]).reshape(camera.height, camera.width, cdim)
+    return zimg, out
+
+
+def vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted per-vertex normals (trimesh/Open3D
+    compute_vertex_normals role), unit length."""
+    v = np.asarray(vertices, np.float64)
+    f = np.asarray(faces)
+    fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    vn = np.zeros_like(v)
+    for k in range(3):
+        np.add.at(vn, f[:, k], fn)
+    n = np.linalg.norm(vn, axis=-1, keepdims=True)
+    return (vn / np.maximum(n, 1e-12)).astype(np.float32)

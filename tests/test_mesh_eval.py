@@ -201,3 +201,37 @@ def test_render_mesh_depth_large_faces_no_holes():
     z = render_mesh_depth(v, f, cam)
     assert np.isfinite(z).all(), f"{(~np.isfinite(z)).sum()} hole pixels"
     np.testing.assert_allclose(z, 2.0, atol=1e-3)
+
+
+def test_render_mesh_attributes_interpolates_normals():
+    """Barycentric attribute rendering: a tilted plane's rendered vertex
+    normals must match the analytic plane normal everywhere it is hit."""
+    import numpy as np
+
+    from dnsplatter_tpu.eval.mesh_render import (
+        render_mesh_attributes,
+        vertex_normals,
+    )
+    from dnsplatter_tpu.ops.camera import Camera
+
+    w = h = 48
+    cam = Camera.create(fx=60.0, fy=60.0, cx=w / 2, cy=h / 2,
+                        width=w, height=h, c2w=np.eye(4))
+    # plane tilted about x: z = -2 + 0.5 * y (OpenGL cam looks down -z)
+    v = np.array([[-2, -2, -3.0], [2, -2, -3.0],
+                  [2, 2, -1.0], [-2, 2, -1.0]], np.float64)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    vn = vertex_normals(v, f)
+    # all vertex normals equal the plane normal
+    expect = vn[0] / np.linalg.norm(vn[0])
+    depth, nmap = render_mesh_attributes(v, f, vn, cam)
+    hit = np.isfinite(depth)
+    assert hit.mean() > 0.9
+    nn = nmap[hit]
+    nn = nn / np.linalg.norm(nn, axis=-1, keepdims=True)
+    err = np.abs(np.abs(nn @ expect) - 1.0)
+    assert err.max() < 1e-4, err.max()
+    # depth increases with image y (plane slopes away at the bottom in
+    # OpenCV pixel coords)
+    col = depth[:, w // 2]
+    assert col[5] != col[-5]

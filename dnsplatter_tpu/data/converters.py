@@ -15,6 +15,8 @@ from pathlib import Path
 
 import numpy as np
 
+from dnsplatter_tpu.data import io
+
 
 def nerfstudio_to_sdfstudio(data_dir: Path, out_dir: Path,
                             scene_scale: float = 1.0) -> Path:
@@ -53,13 +55,21 @@ def nerfstudio_to_sdfstudio(data_dir: Path, out_dir: Path,
         if "depth_file_path" in fr:
             dsrc = data_dir / fr["depth_file_path"]
             if dsrc.exists():
-                ddst = out_dir / f"{i:06d}_sensor_depth{dsrc.suffix}"
-                shutil.copy2(dsrc, ddst)
+                # SDFStudio convention is metre .npy; a raw copy of the
+                # 16-bit millimetre png would read 1000x too large under
+                # the gsdf parser's unit scale of 1.0
+                d = io.read_depth(dsrc, 1e-3 if dsrc.suffix != ".npy"
+                                  else 1.0)[..., 0]
+                ddst = out_dir / f"{i:06d}_sensor_depth.npy"
+                np.save(ddst, d.astype(np.float32))
                 frame["sensor_depth_path"] = ddst.name
         npath = data_dir / "normals_from_pretrain" / (src.stem + ".png")
         if npath.exists():
+            # re-encode: the source is omnidata(OpenGL)-encoded, but the
+            # gsdf parser decodes normals with no flip — bake the
+            # (1,-1,-1) conversion in (read_normal applies it)
             ndst = out_dir / f"{i:06d}_normal.png"
-            shutil.copy2(npath, ndst)
+            io.write_image(ndst, io.read_normal(npath, format="omnidata"))
             frame["mono_normal_path"] = ndst.name
         frames_out.append(frame)
 

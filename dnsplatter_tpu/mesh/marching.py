@@ -85,25 +85,22 @@ def marching_tetrahedra(field: np.ndarray, level: float = 0.0,
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
     f = field - level
 
-    # Cell origin coordinates.
-    cx, cy, cz = np.meshgrid(
-        np.arange(nx - 1), np.arange(ny - 1), np.arange(nz - 1),
-        indexing="ij",
-    )
-    cells = np.stack([cx, cy, cz], -1).reshape(-1, 3)  # (C, 3)
-
-    # Corner values for all cells: (C, 8).
-    corner_idx = cells[:, None, :] + _CORNERS[None, :, :]
-    vals = f[corner_idx[..., 0], corner_idx[..., 1], corner_idx[..., 2]]
-
-    # Skip cells with no crossing at all.
-    inside = vals < 0
-    active = inside.any(1) & (~inside).any(1)
-    cells = cells[active]
-    vals = vals[active]
-    corner_idx = corner_idx[active]
-    if len(cells) == 0:
+    # Corner values for all cells via 8 SHIFTED VIEWS of f — building a
+    # (C, 8, 3) index tensor for the whole grid first would peak at ~8 GB
+    # for a 320^3 export before the active filter prunes it.
+    vals_grid = np.empty((nx - 1, ny - 1, nz - 1, 8), f.dtype)
+    for k, (dx, dy, dz) in enumerate(_CORNERS):
+        vals_grid[..., k] = f[dx:nx - 1 + dx, dy:ny - 1 + dy,
+                              dz:nz - 1 + dz]
+    inside = vals_grid < 0
+    active = inside.any(-1) & (~inside).any(-1)  # (nx-1, ny-1, nz-1)
+    ai, aj, ak = np.nonzero(active)
+    if len(ai) == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    cells = np.stack([ai, aj, ak], -1)  # (C, 3) active cells only
+    vals = vals_grid[ai, aj, ak]  # (C, 8)
+    del vals_grid, inside
+    corner_idx = cells[:, None, :] + _CORNERS[None, :, :]
 
     c = len(cells)
     # Per tetrahedron: (C, 6 tets, 4) corner ids + values.

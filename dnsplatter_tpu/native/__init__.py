@@ -28,10 +28,17 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     out = Path(__file__).parent / "libmeshing.so"
     try:
         if not out.exists() or out.stat().st_mtime < src.stat().st_mtime:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", str(src), "-o", str(out)],
-                check=True, capture_output=True,
-            )
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", str(src), "-o",
+                     str(out)],
+                    check=True, capture_output=True,
+                )
+            except (OSError, subprocess.CalledProcessError):
+                # no compiler / failed rebuild: a stale-but-working
+                # prebuilt .so beats the numpy fallback
+                if not out.exists():
+                    raise
         lib = ctypes.CDLL(str(out))
         lib.mt_run.restype = ctypes.c_void_p
         lib.mt_run.argtypes = [

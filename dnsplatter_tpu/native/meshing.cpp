@@ -151,45 +151,4 @@ void mt_copy(void* h, float* verts_out, int32_t* faces_out) {
 }
 
 void mt_free(void* h) { delete (MeshBuf*)h; }
-
-// Dense-grid projective TSDF integration (host backend; the device path
-// is mesh/tsdf.py). Arrays: tsdf/weight (nvox,), color (nvox,3).
-void tsdf_integrate(
-    float* tsdf, float* weight, float* color, int64_t nvox,
-    const float* origin, int nx, int ny, int nz, float voxel, float trunc,
-    const float* depth, const float* rgb, int h, int w,
-    const float* w2c,  // (12,) row-major 3x4 OpenCV world-to-camera
-    float fx, float fy, float cx, float cy, int space_carving) {
-  for (int64_t i = 0; i < nvox; i++) {
-    int x = (int)(i / ((int64_t)ny * nz));
-    int y = (int)((i / nz) % ny);
-    int z = (int)(i % nz);
-    float p[3] = {origin[0] + x * voxel, origin[1] + y * voxel,
-                  origin[2] + z * voxel};
-    float pc[3];
-    for (int r = 0; r < 3; r++)
-      pc[r] = w2c[r * 4] * p[0] + w2c[r * 4 + 1] * p[1] +
-              w2c[r * 4 + 2] * p[2] + w2c[r * 4 + 3];
-    if (pc[2] <= 1e-6f) continue;
-    float u = pc[0] * fx / pc[2] + cx;
-    float v = pc[1] * fy / pc[2] + cy;
-    int ui = (int)std::lround(u - 0.5f);
-    int vi = (int)std::lround(v - 0.5f);
-    if (ui < 0 || ui >= w || vi < 0 || vi >= h) continue;
-    float d = depth[vi * w + ui];
-    if (d <= 1e-6f) continue;
-    float sdf = d - pc[2];
-    if (sdf < -trunc) continue;
-    if (!space_carving && sdf > trunc) continue;
-    float obs = sdf / trunc;
-    obs = obs < -1.f ? -1.f : (obs > 1.f ? 1.f : obs);
-    float wt = weight[i] + 1.f;
-    tsdf[i] = (tsdf[i] * weight[i] + obs) / wt;
-    for (int c = 0; c < 3; c++)
-      color[i * 3 + c] =
-          (color[i * 3 + c] * weight[i] + rgb[(vi * w + ui) * 3 + c]) / wt;
-    weight[i] = wt;
-  }
-}
-
 }  // extern "C"

@@ -112,12 +112,21 @@ def main(argv=None):
     monos = sorted(mono_dir.glob("*.npy"))
     monos = [m for m in monos if not m.stem.endswith("_aligned")]
 
+    aligned = 0
     if args.colmap_path:
         from dnsplatter_tpu.data import colmap_utils as cu
 
         cams, imgs, xyz, _ = cu.read_model(args.data / args.colmap_path)
-        items = sorted(imgs.values(), key=lambda im: im.name)
-        for mono_path, im in zip(monos, items):
+        # match by filename STEM: COLMAP registers only a subset of
+        # frames, and positional pairing would shift every mono map after
+        # the first dropout onto another frame's SfM depths
+        by_stem = {Path(im.name).stem: im for im in imgs.values()}
+        for mono_path in monos:
+            im = by_stem.get(mono_path.stem)
+            if im is None:
+                print(f"  skipping {mono_path.name}: not registered in "
+                      "the COLMAP model")
+                continue
             mono = np.load(mono_path).astype(np.float32)
             cam = cams[im.camera_id]
             fx, fy, cx, cy = cu.camera_intrinsics(cam)
@@ -127,17 +136,24 @@ def main(argv=None):
             )
             out = align_mono_to_sfm(mono, pix, z)
             np.save(mono_path.with_name(mono_path.stem + "_aligned.npy"), out)
+            aligned += 1
     else:
         from dnsplatter_tpu.data import io
 
         sensor_dir = args.sensor_dir or args.data / "depth"
-        sensors = sorted(sensor_dir.glob("*"))
-        for mono_path, sensor_path in zip(monos, sensors):
+        by_stem = {q.stem: q for q in sensor_dir.glob("*") if q.is_file()}
+        for mono_path in monos:
+            sensor_path = by_stem.get(mono_path.stem)
+            if sensor_path is None:
+                print(f"  skipping {mono_path.name}: no matching sensor "
+                      "depth")
+                continue
             mono = np.load(mono_path).astype(np.float32)
             sensor = io.read_depth(sensor_path, args.depth_unit)[..., 0]
             out = align_mono_to_sensor(mono, sensor)
             np.save(mono_path.with_name(mono_path.stem + "_aligned.npy"), out)
-    print(f"aligned {len(monos)} depth maps")
+            aligned += 1
+    print(f"aligned {aligned} of {len(monos)} depth maps")
 
 
 if __name__ == "__main__":

@@ -39,6 +39,10 @@ def main(argv=None):
         if a.shape != b.shape:
             b = io.resize_image(b, a.shape[0], a.shape[1])
         errs.append(mean_angular_error_deg(a, b))
+    if not errs:
+        raise SystemExit(
+            "no matching frame pairs found (check filenames/extensions)"
+        )
     print(f"frames: {len(errs)}  mean angular error: "
           f"{np.mean(errs):.3f} deg")
 

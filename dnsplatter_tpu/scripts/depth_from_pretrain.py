@@ -46,7 +46,7 @@ def run_monocular_depth(image_dir: Path, out_dir: Path,
     model = load_zoedepth()
     out_dir.mkdir(parents=True, exist_ok=True)
     images = sorted(
-        p for p in image_dir.glob("*") if p.suffix in (".png", ".jpg")
+        p for p in image_dir.glob("*") if p.suffix.lower() in (".png", ".jpg", ".jpeg")
     )
     sensors = sorted(sensor_dir.glob("*")) if sensor_dir else []
     n = 0

@@ -63,7 +63,7 @@ def run_monocular_normals(image_dir: Path, out_dir: Path,
     model = load_omnidata(ckpt_path)
     out_dir.mkdir(parents=True, exist_ok=True)
     images = sorted(
-        p for p in image_dir.glob("*") if p.suffix in (".png", ".jpg")
+        p for p in image_dir.glob("*") if p.suffix.lower() in (".png", ".jpg", ".jpeg")
     )
     for img_path in images:
         img = io.read_image(img_path)
@@ -102,7 +102,7 @@ def run_monocular_normals_hd(image_dir: Path, out_dir: Path,
 
     out_dir.mkdir(parents=True, exist_ok=True)
     images = sorted(
-        p for p in image_dir.glob("*") if p.suffix in (".png", ".jpg")
+        p for p in image_dir.glob("*") if p.suffix.lower() in (".png", ".jpg", ".jpeg")
     )
     for img_path in images:
         rgb = io.read_image(img_path)
@@ -129,7 +129,7 @@ def run_dsine_normals(image_dir: Path, out_dir: Path, ckpt_path: Path,
     params = load_params(str(ckpt_path))
     out_dir.mkdir(parents=True, exist_ok=True)
     images = sorted(
-        p for p in image_dir.glob("*") if p.suffix in (".png", ".jpg")
+        p for p in image_dir.glob("*") if p.suffix.lower() in (".png", ".jpg", ".jpeg")
     )
     for img_path in images:
         rgb = io.read_image(img_path)

@@ -67,6 +67,15 @@ class TrainConfig:
     # (densify/cull/reset) also runs on the sharded state and the layout
     # is re-pinned after each event. CLI: `--train.devices N`.
     devices: int = 0
+    # Size pair_capacity from the data at startup: audit raw
+    # (gaussian, tile) pair counts over sample frames and take
+    # max * auto_capacity_margin (rounded to the chunk). Every sort,
+    # gather, and slab in the rasterizer scales with the STATIC
+    # capacity, so a 2x-oversized default costs real step time; the
+    # margin covers densification growth (overflow degrades gracefully
+    # by dropping the deepest Gaussians whole).
+    auto_pair_capacity: bool = False
+    auto_capacity_margin: float = 3.0
     # Observability (the reference trains with the nerfstudio viewer on
     # and surfaces metrics to wandb/tb writers; dn_config.py:69-70).
     viewer: bool = False
@@ -217,6 +226,13 @@ class Trainer:
             )
         self.adam = init_adam(self.params)
         self.stats = init_stats(self.params.capacity)
+        if train_cfg.auto_pair_capacity:
+            cap = self._audit_pair_capacity()
+            if cap is not None:
+                self.train_cfg = train_cfg = dataclasses.replace(
+                    train_cfg, pair_capacity=cap
+                )
+                print(f"auto pair capacity: {cap}", flush=True)
         self.mesh = None
         if train_cfg.devices and train_cfg.devices > 1:
             from dnsplatter_tpu.parallel.sharding import make_mesh
@@ -257,6 +273,49 @@ class Trainer:
                 from dnsplatter_tpu.utils.writers import TensorboardWriter
 
                 self._writers.append(TensorboardWriter(self.out_dir / "tb"))
+
+    def _audit_pair_capacity(self) -> Optional[int]:
+        """Max raw pair count over up to 8 sample frames * margin,
+        rounded up to the chunk (None if the audit fails)."""
+        from dnsplatter_tpu.ops.projection import project_gaussians
+
+        tc = self.train_cfg
+        n = len(self.data)
+        if n == 0:
+            return None
+        idxs = sorted({(i * n) // min(8, n) for i in range(min(8, n))})
+        worst = 0
+        opac = jax.nn.sigmoid(self.params.opacities)
+
+        @jax.jit
+        def raw_pairs(means, quats, scales, viewmat, fx, fy, cx, cy, w, h,
+                      validf):
+            proj = project_gaussians(means, quats, jnp.exp(scales),
+                                     viewmat, fx, fy, cx, cy, w, h,
+                                     opacities=opac)
+            ts = float(tc.tile_size)
+            r = proj.radii_xy
+            tx = (jnp.floor((proj.means2d[:, 0] + r[:, 0]) / ts)
+                  - jnp.floor((proj.means2d[:, 0] - r[:, 0]) / ts) + 1)
+            ty = (jnp.floor((proj.means2d[:, 1] + r[:, 1]) / ts)
+                  - jnp.floor((proj.means2d[:, 1] - r[:, 1]) / ts) + 1)
+            ok = proj.valid & (validf > 0.5)
+            return jnp.sum(jnp.where(ok, tx * ty, 0.0))
+
+        for i in idxs:
+            cam, _ = self.data.get(i)
+            cnt = float(raw_pairs(
+                self.params.means, self.params.quats, self.params.scales,
+                cam.viewmat(), float(cam.fx), float(cam.fy),
+                float(cam.cx), float(cam.cy), cam.width, cam.height,
+                self.alive,
+            ))
+            worst = max(worst, int(cnt))
+        if worst <= 0:
+            return None
+        cap = int(worst * tc.auto_capacity_margin)
+        cap = max(cap, 1 << 16)
+        return -(-cap // tc.chunk) * tc.chunk
 
     def _raster_cfg(self, camera: Camera) -> RasterizeConfig:
         tc = self.train_cfg

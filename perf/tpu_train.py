@@ -28,7 +28,7 @@ tr = Trainer(
                           warmup_length=10_000),
     train_cfg=TrainConfig(pair_capacity=1 << 20, chunk=128, tile_block=16,
                           steps_per_dispatch=10, steps_per_eval_image=0,
-                          backend="auto"),
+                          auto_pair_capacity=True, backend="auto"),
 )
 t0 = time.time()
 tr.train(num_steps=50, log_every=50)   # compile + first dispatch

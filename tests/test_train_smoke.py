@@ -154,3 +154,32 @@ def test_normal_loss_grads_finite_with_empty_pixels():
     g = jax.grad(loss_fn)(params)
     for f in g.__dataclass_fields__:
         assert np.isfinite(np.asarray(getattr(g, f))).all(), f
+
+
+def test_auto_pair_capacity_sizes_from_data():
+    """auto_pair_capacity audits raw pair counts at init and right-sizes
+    the static capacity (chunk-aligned, covers every frame's pairs)."""
+    import jax
+    import numpy as np
+
+    from dnsplatter_tpu.data.synthetic import make_synthetic_scene
+    from dnsplatter_tpu.models.dn_model import ModelConfig
+    from dnsplatter_tpu.train.trainer import TrainConfig, Trainer
+
+    scene = make_synthetic_scene(seed=0, n_gaussians=300, n_cameras=2,
+                                 width=64, height=64,
+                                 pair_capacity=1 << 13)
+    pts, cols = scene.seed_points(jax.random.PRNGKey(1), noise=0.03)
+    tr = Trainer(
+        data=scene, seed_points=(pts, cols),
+        model_cfg=ModelConfig(sh_degree=1, warmup_length=100),
+        train_cfg=TrainConfig(pair_capacity=1 << 20, chunk=32,
+                              tile_block=4, steps_per_eval_image=0,
+                              auto_pair_capacity=True,
+                              auto_capacity_margin=2.0),
+    )
+    cap = tr.train_cfg.pair_capacity
+    assert cap < (1 << 20), "capacity not shrunk from the oversized default"
+    assert cap % 32 == 0
+    h = tr.train(num_steps=4, log_every=4)
+    assert np.isfinite(h[-1]["loss"])

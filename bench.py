@@ -50,7 +50,7 @@ NOMINAL_GSPLAT_MPIX_S = 75.0
 
 N_GAUSS = 100_000
 WIDTH, HEIGHT = 1024, 576
-PAIR_CAPACITY = 1_490_944  # covers the full ~1.41M-pair scene + 5.7% headroom
+PAIR_CAPACITY = 1_441_792  # full ~1.409M-pair scene (deterministic) + 2.3% headroom
 INNER_FRAMES = 48  # frames per dispatch (lax.scan) — amortizes the ~150 ms
 # big-executable dispatch overhead of the tunnel (real training batches
 # steps per dispatch the same way)

@@ -65,11 +65,6 @@ def sdf_fn(params: NeuSParams, cfg: NeuSConfig, pts: jax.Array) -> jax.Array:
     return h[..., 0] + (jnp.linalg.norm(pts, axis=-1) - 1.0)
 
 
-def sdf_and_grad(params, cfg, pts):
-    sdf, _, grad = sdf_geo_and_grad(params, cfg, pts)
-    return sdf, grad
-
-
 def sdf_geo_and_grad(params, cfg, pts):
     """One field evaluation for (sdf, geo features, sdf gradient):
     value_and_grad shares the forward between the value and the gradient,

@@ -130,7 +130,9 @@ def _ensure_confidence_masks(capture_dir: Path, specs, cfg) -> None:
     reference regenerates them via DepthToNormal on demand,
     mushroom_dataparser.py:180-192)."""
     out_dir = capture_dir / "depth_normals_mask"
-    if out_dir.exists() or not specs:
+    # regenerate when only legacy lossy .jpg masks exist (see the PNG
+    # note below); the loader prefers .png so stale jpgs stay unused
+    if (out_dir.exists() and any(out_dir.glob("*.png"))) or not specs:
         return
     from dnsplatter_tpu.data import io
     from dnsplatter_tpu.scripts.depth_normal_consistency import (

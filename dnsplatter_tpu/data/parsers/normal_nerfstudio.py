@@ -140,14 +140,21 @@ def parse(cfg: NerfstudioParserConfig, split: str = "train") -> SceneDataset:
     ) or _natsort(list((data_dir / "mono_depth").glob("*.npy")))
     conf_paths = _natsort(list((data_dir / "confidence").glob("*")))
 
-    import bisect
+    def _stem_map(paths: List[Path]):
+        # exact prior stems first; then '<stem>_suffix' variants (e.g.
+        # frame_1_aligned.npy -> frame_1) only where no exact file exists.
+        # A sorted/bisect prefix probe is WRONG here: digits sort before
+        # '_', so frame_10_aligned lands between frame_1 and
+        # frame_1_aligned and a single-probe startswith test misses.
+        m = {}
+        for q in paths:
+            m.setdefault(q.stem, q)
+        for q in paths:
+            if "_" in q.stem:
+                m.setdefault(q.stem.rsplit("_", 1)[0], q)
+        return m
 
-    def _stem_index(paths: List[Path]):
-        order = sorted(range(len(paths)), key=lambda j: paths[j].stem)
-        stems = [paths[j].stem for j in order]
-        return order, stems
-
-    _stem_cache = {id(ps): _stem_index(ps)
+    _stem_cache = {id(ps): _stem_map(ps)
                    for ps in (normal_paths, depth_paths, conf_paths)}
 
     def prior_for(i: int, paths: List[Path]) -> Optional[Path]:
@@ -155,11 +162,9 @@ def parse(cfg: NerfstudioParserConfig, split: str = "train") -> SceneDataset:
         # partially generated priors); fall back to natsorted index
         # alignment, the reference's behavior.
         stem = Path(frames_meta[i]["file_path"]).stem
-        order, stems = _stem_cache[id(paths)]
-        k = bisect.bisect_left(stems, stem)
-        if k < len(stems) and (stems[k] == stem
-                               or stems[k].startswith(stem + "_")):
-            return paths[order[k]]
+        hit = _stem_cache[id(paths)].get(stem)
+        if hit is not None:
+            return hit
         return paths[i] if i < len(paths) else None
 
     specs: List[FrameSpec] = []

@@ -106,8 +106,9 @@ def evaluate(
 
             # warm up OUTSIDE the timed window: the first call compiles
             # (minutes on the tunneled TPU) and would make the first
-            # frame's fps/rays-per-sec garbage
-            jax.block_until_ready(fwd(params, alive, cam)["rgb"])
+            # frame's fps/rays-per-sec garbage; sync via a device scalar
+            # (block_until_ready is advisory through the tunnel)
+            float(jnp.max(fwd(params, alive, cam)["rgb"]))
             render_fns[key] = fwd
         return render_fns[key]
 

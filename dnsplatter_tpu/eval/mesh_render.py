@@ -19,8 +19,6 @@ import numpy as np
 
 from dnsplatter_tpu.ops.camera import Camera
 
-WIN = 8  # legacy default window (rendering now buckets by extent)
-
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "win"))
 def _raster_chunk(v0, v1, v2, zbuf, fx, fy, cx, cy, width, height, win):

@@ -54,8 +54,14 @@ def main(argv=None):
     data = _load_dataset(args.dataparser, args.data, args.split)
     out_dir = args.output_dir or args.data / "reference_normal"
     out_dir.mkdir(parents=True, exist_ok=True)
+    # name outputs by the source frame's image stem, not position:
+    # filename-matched consumers (compare_normals, the parsers' prior
+    # lookup) pair by name, and split changes would reshuffle indices
+    frames = getattr(data, "frames", None)
     for i in range(len(data)):
         cam, _ = data.get(i)
+        stem = (Path(frames[i].image_path).stem
+                if frames is not None else f"{i:05d}")
         depth, nmap = render_mesh_attributes(verts, faces, vn, cam)
         hit = np.isfinite(depth)
         norm = np.linalg.norm(nmap, axis=-1, keepdims=True)
@@ -68,7 +74,7 @@ def main(argv=None):
             flip = np.where(nmap[..., 2:3] > 0, -1.0, 1.0)
             nmap = nmap * flip
         enc = np.where(hit[..., None], (nmap + 1.0) * 0.5, 0.0)
-        io.write_image(out_dir / f"{i:05d}.png", enc)
+        io.write_image(out_dir / f"{stem}.png", enc)
     print(f"wrote {len(data)} normal maps to {out_dir}")
 
 

@@ -314,6 +314,12 @@ class Trainer:
         if worst <= 0:
             return None
         cap = int(worst * tc.auto_capacity_margin)
+        if tc.devices and tc.devices > 1:
+            # the tile-sharded renderer divides pair_capacity per slab
+            # (parallel/tile_sharding.py slab_config); a content-dense
+            # slab can hold most of a frame's pairs, so size every slab
+            # for the full-frame worst case
+            cap *= tc.devices
         cap = max(cap, 1 << 16)
         return -(-cap // tc.chunk) * tc.chunk
 

@@ -148,7 +148,10 @@ def cmd_export(argv):
     model_cfg = model_config_for_method(args.method)
 
     if args.mode in ("tsdf", "o3dtsdf"):
-        cfg = E.TSDFExportConfig(voxel_size=args.voxel_size)
+        # o3dtsdf mirrors Open3DTSDFFusion's connected-component cleanup
+        # (export_mesh.py:1026-1039); plain tsdf (vdbfusion role) does not
+        cfg = E.TSDFExportConfig(voxel_size=args.voxel_size,
+                                 cleanup_clusters=args.mode == "o3dtsdf")
         out = E.export_tsdf(params, alive, data, args.output_dir, model_cfg,
                             cfg)
     elif args.mode == "dn":

@@ -101,6 +101,13 @@ class TSDFExportConfig:
     # are sparse; ours is dense, and camera-AABB + depth_max margins can
     # span 15+ m -> 1500^3 cells at 1 cm would be ~67 GB)
     max_resolution: int = 320
+    # Open3DTSDFFusion cleanup (export_mesh.py:1026-1039): drop connected
+    # components smaller than max(50th-largest, 50) triangles. The `tsdf`
+    # (vdbfusion-role) mode leaves it off, the `o3dtsdf` mode turns it on.
+    cleanup_clusters: bool = False
+    # TSDFFusion simplification (export_mesh.py:917-919): quadric
+    # decimation to this triangle count (None = keep full resolution).
+    target_triangles: Optional[int] = None
 
 
 class _IndexView:
@@ -143,6 +150,19 @@ def export_tsdf(params, alive, data, output_dir: Path,
             float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
         )
     verts, faces, cols = tsdf_lib.extract_mesh(vol, cfg.min_weight)
+    if cfg.cleanup_clusters:
+        from dnsplatter_tpu.mesh.postprocess import remove_small_clusters
+
+        verts, faces, cols = remove_small_clusters(verts, faces, cols)
+    if cfg.target_triangles and len(faces) > cfg.target_triangles:
+        from dnsplatter_tpu.mesh.postprocess import (
+            simplify_quadric_decimation,
+        )
+
+        verts, faces = simplify_quadric_decimation(
+            verts, faces, cfg.target_triangles
+        )
+        cols = None  # decimation re-positions vertices
     out_path = output_dir / "TSDFfusion_mesh.ply"
     io.write_ply(out_path, verts, colors=cols, faces=faces)
     return out_path
@@ -210,9 +230,12 @@ def export_dn(params, alive, data, output_dir: Path,
 def export_gaussians(params, alive, data, output_dir: Path,
                      min_opacity: float = 0.1,
                      cull_by_color: bool = False,
-                     poisson_resolution: int = 192) -> Path:
+                     poisson_resolution: int = 192,
+                     densify_gaussians: Optional[int] = None) -> Path:
     """`gs-mesh gaussians`: centers + per-Gaussian normals as an oriented
-    point cloud (export_mesh.py:128-310)."""
+    point cloud (export_mesh.py:128-310). `densify_gaussians` adds that
+    many extra volume-weighted in-Gaussian samples carrying their parent
+    Gaussian's normal/color (export_mesh.py:254-263)."""
     from dnsplatter_tpu.ops.sh import sh_to_rgb
 
     output_dir = Path(output_dir)
@@ -222,7 +245,19 @@ def export_gaussians(params, alive, data, output_dir: Path,
     keep = alive_np & (opac > min_opacity)
     pts = np.asarray(params.means)[keep]
     nrm = np.asarray(params.normals)[keep]
-    cols = np.clip(np.asarray(sh_to_rgb(params.features_dc))[keep], 0, 1)
+    all_cols = np.clip(np.asarray(sh_to_rgb(params.features_dc)), 0, 1)
+    cols = all_cols[keep]
+    if densify_gaussians:
+        from dnsplatter_tpu.models.sugar import sample_points_in_gaussians
+
+        extra, gidx = sample_points_in_gaussians(
+            jax.random.PRNGKey(0), params,
+            jnp.asarray(keep, jnp.float32), int(densify_gaussians),
+        )
+        gidx = np.asarray(gidx)
+        pts = np.concatenate([pts, np.asarray(extra)])
+        nrm = np.concatenate([nrm, np.asarray(params.normals)[gidx]])
+        cols = np.concatenate([cols, all_cols[gidx]])
     if cull_by_color:
         keep2 = cols.mean(-1) > 0.1
         pts, nrm, cols = pts[keep2], nrm[keep2], cols[keep2]
@@ -283,10 +318,25 @@ def export_sugar_coarse(params, alive, data, output_dir: Path,
             from dnsplatter_tpu.mesh.poisson import (
                 PoissonConfig, poisson_reconstruct,
             )
+            from dnsplatter_tpu.mesh.postprocess import (
+                filter_smooth_laplacian,
+            )
 
             verts, faces = poisson_reconstruct(pp, nn, PoissonConfig())
             io.write_ply(
                 output_dir / f"sugar_level_{lv:.1f}_poisson_mesh.ply",
+                verts, faces=faces,
+            )
+            # the reference saves two successive Laplacian-smoothed
+            # variants of each level-set mesh (export_mesh.py:681-693)
+            verts = filter_smooth_laplacian(verts, faces)
+            io.write_ply(
+                output_dir / f"sugar_level_{lv:.1f}_smoothed_1_mesh.ply",
+                verts, faces=faces,
+            )
+            verts = filter_smooth_laplacian(verts, faces)
+            io.write_ply(
+                output_dir / f"sugar_level_{lv:.1f}_smoothed_2_mesh.ply",
                 verts, faces=faces,
             )
         last = path
@@ -355,7 +405,8 @@ def export_isofusion(params, alive, data, output_dir: Path,
 
 def export_marching(params, alive, data, output_dir: Path,
                     resolution: int = 256, level: float = 0.5,
-                    padding: float = 0.1) -> Path:
+                    padding: float = 0.1,
+                    target_triangles: Optional[int] = 1_000_000) -> Path:
     """`gs-mesh marching`: density grid + isosurface (export_mesh.py:699-820).
 
     Grid bounds from live Gaussian extent; vertex colors from the nearest
@@ -390,6 +441,15 @@ def export_marching(params, alive, data, output_dir: Path,
     verts, faces = marching_tetrahedra(level - field, 0.0)
     scalefac = (hi - lo) / (resolution - 1)
     verts_w = lo + verts * scalefac
+    if target_triangles and len(faces) > target_triangles:
+        # export_mesh.py:811-813: simplify_quadric_decimation(1M default)
+        from dnsplatter_tpu.mesh.postprocess import (
+            simplify_quadric_decimation,
+        )
+
+        verts_w, faces = simplify_quadric_decimation(
+            verts_w, faces, target_triangles
+        )
 
     cols = None
     if len(verts_w):

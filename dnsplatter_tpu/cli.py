@@ -68,6 +68,9 @@ def cmd_train(argv):
     p.add_argument("--data", type=Path, required=True)
     p.add_argument("--output-dir", type=Path, default=Path("runs/default"))
     p.add_argument("--max-iterations", type=int, default=None)
+    p.add_argument("--resume", type=Path, default=None,
+                   help="checkpoint .npz to resume from (continues to "
+                        "max-iterations total steps)")
     add_dataclass_args(p, ModelConfig, "model")
     add_dataclass_args(p, TrainConfig, "train")
     add_dataclass_args(p, OptimConfig, "optim")
@@ -91,7 +94,14 @@ def cmd_train(argv):
         train_cfg=train_cfg,
         out_dir=args.output_dir,
     )
-    trainer.train()
+    if args.resume:
+        trainer.load_checkpoint(args.resume)
+        print(f"resumed {args.resume} at step {trainer.step}", flush=True)
+        trainer.train(
+            num_steps=max(0, train_cfg.max_iterations - trainer.step)
+        )
+    else:
+        trainer.train()
     print(f"checkpoint: {trainer.save_checkpoint()}")
 
 

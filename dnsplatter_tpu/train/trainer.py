@@ -654,9 +654,22 @@ class Trainer:
 
         self.adam = AdamState(mu=tree("mu"), nu=tree("nu"),
                               count=tree("count"), accum=tree("accum"))
-        if "cam_adj" in z:
+        if "cam_adj" in z and z["cam_adj"].shape == self.cam_adj.shape:
             self.cam_adj = jnp.asarray(z["cam_adj"])
         self.stats = init_stats(self.params.capacity)
+        # Resume hygiene: a densified checkpoint can need a larger pair
+        # capacity than the seed audit chose, and cached step functions
+        # close over the old config; the sharded layout must be re-pinned.
+        if self.train_cfg.auto_pair_capacity:
+            cap = self._audit_pair_capacity()
+            if cap is not None and cap != self.train_cfg.pair_capacity:
+                self.train_cfg = dataclasses.replace(
+                    self.train_cfg, pair_capacity=cap
+                )
+                print(f"auto pair capacity (resume): {cap}", flush=True)
+        self._step_fns.clear()
+        if self.mesh is not None:
+            self._shard_state()
 
 
 def load_checkpoint_arrays(path: Path):

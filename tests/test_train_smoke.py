@@ -71,6 +71,28 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(trainer2.params.means), means0)
 
 
+def test_resume_continues_training(tmp_path):
+    """CLI --resume semantics: load a checkpoint mid-run and continue
+    training to the remaining step budget with intact optimizer state."""
+    scene, trainer = _make_trainer()
+    trainer.out_dir = tmp_path
+    trainer.train(num_steps=6, log_every=3)
+    p = trainer.save_checkpoint()
+    mu0 = np.asarray(trainer.adam.mu.means)
+
+    scene2, trainer2 = _make_trainer()
+    trainer2.out_dir = tmp_path
+    trainer2.load_checkpoint(p)
+    # Adam moments restored (not reinitialized) and step fns rebuilt
+    np.testing.assert_array_equal(np.asarray(trainer2.adam.mu.means), mu0)
+    assert not trainer2._step_fns
+    target_total = 10
+    hist = trainer2.train(num_steps=target_total - trainer2.step,
+                          log_every=2)
+    assert trainer2.step == target_total
+    assert np.isfinite([h["loss"] for h in hist]).all()
+
+
 def test_refinement_transforms():
     """densify/cull/reset transforms keep shapes static and masks sane."""
     from dnsplatter_tpu.train.strategy import (

@@ -1,6 +1,13 @@
 """Chunk-statistics probe: how many K-chunks the kernels actually sweep
 at the bench scene (total CSR chunks vs replayed-to-last-contributor),
-to attribute per-chunk cost. Runs on the TPU (or CPU, slowly)."""
+to attribute per-chunk cost. Runs on the TPU (or CPU, slowly).
+
+CAVEAT (found the hard way): `tfin > 1e-4` does NOT mean "pixel never
+terminated" — terminated pixels keep T slightly above 1e-4 because the
+tripping Gaussian is excluded from compositing. The forward's real
+processed-chunk count is best measured by timing with the early-exit
+condition disabled (fwd kernel 7.05 ms with vs ~17.2 ms without at the
+bench scene => ~59% of chunk-visits skipped)."""
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax

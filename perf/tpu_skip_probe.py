@@ -1,4 +1,10 @@
-"""Probe: how many forward 128-lane windows could be skipped by testing
+"""
+CAVEAT: this probe defines the unsaturated set as tfin > 1e-4, which
+OVERESTIMATES it (terminated pixels keep T slightly above 1e-4: the
+tripping Gaussian is excluded). Its negative conclusion is therefore an
+upper bound on the mechanism, measured vs a too-large unsat set; the
+decisive measurement was the fori-vs-while timing A/B (see CLAUDE.md).
+Probe: how many forward 128-lane windows could be skipped by testing
 each pair's minimum sigma over the tile's UNSATURATED-pixel bounding box
 (computed from the final transmittance — accurate for the deep chunks
 past `last`, which are the waste)."""

@@ -1,4 +1,10 @@
-"""Probe: per-tile stop depth from the suffix-AABB-coverage test.
+"""
+CAVEAT: this probe defines the unsaturated set as tfin > 1e-4, which
+OVERESTIMATES it (terminated pixels keep T slightly above 1e-4: the
+tripping Gaussian is excluded). Its negative conclusion is therefore an
+upper bound on the mechanism, measured vs a too-large unsat set; the
+decisive measurement was the fori-vs-while timing A/B (see CLAUDE.md).
+Probe: per-tile stop depth from the suffix-AABB-coverage test.
 
 Stop criterion (conservative, semantics-exact): at window w of a tile,
 if no REMAINING pair's opacity-aware AABB contains a pixel that is still

@@ -35,7 +35,6 @@ import numpy as np
 from dnsplatter_tpu.data import io
 from dnsplatter_tpu.mesh import tsdf as tsdf_lib
 from dnsplatter_tpu.models.dn_model import ModelConfig, get_outputs
-from dnsplatter_tpu.models.gaussians import GaussianParams
 from dnsplatter_tpu.ops.camera import backproject_depth
 from dnsplatter_tpu.ops.rasterize import RasterizeConfig
 

@@ -4,7 +4,6 @@ filter_smooth_laplacian / simplify_quadric_decimation, consumed at
 export_mesh.py:681-693, 811-813, 1026-1039)."""
 
 import numpy as np
-import pytest
 
 from dnsplatter_tpu.mesh.marching import marching_tetrahedra
 from dnsplatter_tpu.mesh.postprocess import (

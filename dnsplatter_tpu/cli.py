@@ -62,6 +62,9 @@ def _load_dataset(name: str, data: Path, split: str):
 
 
 def cmd_train(argv):
+    from dnsplatter_tpu.configs import load_method_plugins
+
+    load_method_plugins()  # installed third-party methods join the choices
     p = argparse.ArgumentParser(prog="train")
     p.add_argument("method", choices=sorted(METHOD_PRESETS))
     p.add_argument("dataparser")
@@ -180,8 +183,24 @@ def cmd_export(argv):
     print(f"exported: {out}")
 
 
+def cmd_render(argv):
+    """Dump rgb/depth/normal renders for a checkpoint (reference
+    scripts/render_model.py role)."""
+    from dnsplatter_tpu.scripts import render_model
+
+    render_model.main(argv)
+
+
+def gs_mesh_main():
+    """Console script `gs-mesh <mode> --checkpoint ... --data ...` — the
+    reference's mesh-export entry point (pyproject.toml:44-46,
+    export_mesh.py:1050-1066) as a standalone command."""
+    cmd_export(sys.argv[1:])
+
+
 def main():
-    cmds = {"train": cmd_train, "eval": cmd_eval, "export": cmd_export}
+    cmds = {"train": cmd_train, "eval": cmd_eval, "export": cmd_export,
+            "render": cmd_render}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: python -m dnsplatter_tpu.cli {{{'|'.join(cmds)}}} ...")
         sys.exit(2)

@@ -30,7 +30,36 @@ METHOD_PRESETS: Dict[str, Dict[str, Any]] = {
 }
 
 
+def load_method_plugins() -> None:
+    """Merge third-party method presets registered under the
+    `dnsplatter_tpu.methods` entry-point group into METHOD_PRESETS.
+
+    Mirrors how the reference registers its methods into nerfstudio's
+    `nerfstudio.method_configs` group (reference pyproject.toml:27-32).
+    An entry point resolves to a dict of ModelConfig field overrides, or
+    a zero-arg callable returning one. Built-in names always win.
+    """
+    from dnsplatter_tpu.utils.plugins import METHODS_GROUP, load_group
+
+    def to_preset(obj) -> Dict[str, Any]:
+        preset = obj() if callable(obj) else obj
+        if not isinstance(preset, dict):
+            raise TypeError(
+                f"method plugin must resolve to a dict of ModelConfig "
+                f"overrides, got {type(preset).__name__}"
+            )
+        valid = {f.name for f in dataclasses.fields(ModelConfig)}
+        unknown = set(preset) - valid
+        if unknown:
+            raise ValueError(f"unknown ModelConfig fields: {sorted(unknown)}")
+        return dict(preset)
+
+    load_group(METHODS_GROUP, METHOD_PRESETS, transform=to_preset)
+
+
 def model_config_for_method(method: str, **overrides) -> ModelConfig:
+    if method not in METHOD_PRESETS:
+        load_method_plugins()
     preset = dict(METHOD_PRESETS[method])
     preset.update(overrides)
     return ModelConfig(**preset)

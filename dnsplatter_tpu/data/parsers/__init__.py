@@ -33,5 +33,12 @@ def get_parser(name: str):
     except ImportError:
         pass
     if name not in PARSERS:
+        # Third-party parsers via the dnsplatter_tpu.dataparsers
+        # entry-point group (reference registers its parsers into
+        # nerfstudio.dataparser_configs, pyproject.toml:33-42).
+        from dnsplatter_tpu.utils.plugins import DATAPARSERS_GROUP, load_group
+
+        load_group(DATAPARSERS_GROUP, PARSERS)
+    if name not in PARSERS:
         raise KeyError(f"unknown dataparser {name!r}; have {sorted(PARSERS)}")
     return PARSERS[name]

@@ -91,7 +91,9 @@ def write_depth_png(path: Path, depth: np.ndarray, unit: float = 1e-3) -> None:
     # clip BEFORE the uint16 cast: values past 65535 would otherwise
     # wrap around into small, valid-looking depths
     d = np.clip(np.asarray(depth).squeeze() / unit, 0, 65535)
-    Image.fromarray(d.astype(np.uint16), mode="I;16").save(path)
+    # Pillow infers mode I;16 from the uint16 dtype (the explicit mode
+    # argument is deprecated for removal in Pillow 13)
+    Image.fromarray(d.astype(np.uint16)).save(path)
 
 
 def read_normal(

@@ -47,6 +47,13 @@ class OptimConfig:
     # iterations with summed gradients (dn_config.py:22).
     accum_features_dc: int = 10
     accum_features_rest: int = 10
+    # camera-optimizer group (reference dn_config.py:57-61 + the
+    # camera_opt entry of gradient_accumulation_steps, dn_config.py:22):
+    # SE(3) tangents, Adam lr 1e-3 -> 5e-5 exp decay over max_steps,
+    # gradients accumulated over 100 steps per apply.
+    lr_camera_opt: float = 1e-3
+    lr_camera_opt_final: float = 5e-5
+    accum_camera_opt: int = 100
 
     def accum_steps(self) -> GaussianParams:
         """Per-field accumulation windows as a GaussianParams of ints."""

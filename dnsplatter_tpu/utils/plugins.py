@@ -26,6 +26,13 @@ from typing import Callable, Dict, List, Optional
 METHODS_GROUP = "dnsplatter_tpu.methods"
 DATAPARSERS_GROUP = "dnsplatter_tpu.dataparsers"
 
+# Names that load_group itself put into a registry, keyed by registry id:
+# a second discovery pass (e.g. get_parser called again, or cmd_train's
+# eager load plus the lazy path) must not mistake an already-loaded
+# plugin for a built-in and emit a misleading "shadows a built-in"
+# warning.
+_plugin_loaded: Dict[int, set] = {}
+
 
 def iter_entry_points(group: str) -> List:
     """All installed entry points in `group` (portable across the
@@ -47,15 +54,19 @@ def load_group(
     to import or validate is skipped with a warning rather than breaking
     the CLI for every other method.
     """
+    loaded = _plugin_loaded.setdefault(id(registry), set())
+    loaded.intersection_update(registry)  # drop names removed since
     for ep in iter_entry_points(group):
         if ep.name in registry:
-            warnings.warn(
-                f"plugin {ep.name!r} in {group} shadows a built-in name; "
-                "ignored"
-            )
+            if ep.name not in loaded:  # genuine built-in collision
+                warnings.warn(
+                    f"plugin {ep.name!r} in {group} shadows a built-in "
+                    "name; ignored"
+                )
             continue
         try:
             obj = ep.load()
             registry[ep.name] = transform(obj) if transform else obj
+            loaded.add(ep.name)
         except Exception as exc:  # plugin bugs must not kill the host CLI
             warnings.warn(f"failed to load plugin {ep.name!r} ({group}): {exc}")

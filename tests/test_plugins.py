@@ -8,10 +8,14 @@ patching the discovery helper.
 """
 
 import dataclasses
-import tomllib
 from pathlib import Path
 
 import pytest
+
+try:  # pyproject declares requires-python >= 3.10; tomllib is 3.11+
+    import tomllib
+except ImportError:  # pragma: no cover - exercised on 3.10 only
+    tomllib = pytest.importorskip("tomli")
 
 from dnsplatter_tpu import configs
 from dnsplatter_tpu.utils import plugins

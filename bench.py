@@ -51,20 +51,34 @@ NOMINAL_GSPLAT_MPIX_S = 75.0
 N_GAUSS = 100_000
 WIDTH, HEIGHT = 1024, 576
 PAIR_CAPACITY = 1_441_792  # full ~1.409M-pair scene (deterministic) + 2.3% headroom
-INNER_FRAMES = 48  # frames per dispatch (lax.scan) — amortizes the ~150 ms
+INNER_FRAMES = 96  # frames per dispatch (lax.scan) — amortizes the ~150 ms
 # big-executable dispatch overhead of the tunnel (real training batches
 # steps per dispatch the same way)
 ITERS = 3  # dispatches
 
+# Second config: the reference's DEFAULT operating point — 1M seed
+# Gaussians (mushroom_dataparser.py:97-98; random fallback 500k,
+# dn_model.py:135). Splat scales shrink with seed density like the
+# 3-NN init (scale_shift = -ln(N/100k)/3), giving ~5.04M tight-AABB
+# pairs at this camera. This config exercises the large-N paths (stable
+# tile-key sort, streamed expand) with NO fallback.
+N_GAUSS_1M = 1_000_000
+SCALE_SHIFT_1M = -0.7675284  # -ln(10)/3
+PAIR_CAPACITY_1M = 5_242_880  # ~5.037M pairs + 4% headroom, chunk-aligned
+INNER_FRAMES_1M = 24
+ITERS_1M = 2
+
 
 def build(backend: str, n_gauss=N_GAUSS, width=WIDTH, height=HEIGHT,
-          capacity=PAIR_CAPACITY, grad_outputs=False):
+          capacity=PAIR_CAPACITY, grad_outputs=False, scale_shift=0.0,
+          inner_frames=INNER_FRAMES):
     from dnsplatter_tpu.data.synthetic import make_gt_gaussians, ring_cameras
     from dnsplatter_tpu.ops.projection import project_gaussians
     from dnsplatter_tpu.ops.rasterize import RasterizeConfig, rasterize
 
     key = jax.random.PRNGKey(0)
-    params, alive = make_gt_gaussians(key, n_gauss, extent=1.5)
+    params, alive = make_gt_gaussians(key, n_gauss, extent=1.5,
+                                      scale_shift=scale_shift)
     cam = ring_cameras(1, width=width, img_height=height, focal=700.0)[0]
     cfg = RasterizeConfig(
         width=width, height=height, tile_size=16, chunk=128, tile_block=16,
@@ -102,18 +116,46 @@ def build(backend: str, n_gauss=N_GAUSS, width=WIDTH, height=HEIGHT,
 
     @jax.jit
     def step(seed, means):
-        # INNER_FRAMES full fwd+bwd renders per dispatch: the tunnel's
+        # inner_frames full fwd+bwd renders per dispatch: the tunnel's
         # per-dispatch overhead would otherwise dominate the measurement.
         def one(carry, i):
             g, _ = one_frame(means, seed + i.astype(jnp.float32))
             return carry + g.sum(), None
 
         out, _ = jax.lax.scan(
-            one, jnp.zeros(()), jnp.arange(INNER_FRAMES)
+            one, jnp.zeros(()), jnp.arange(inner_frames)
         )
         return out
 
     return step, (params.means,)
+
+
+def measure(backend: str, **build_kw):
+    """Returns (Mpix/s, actual backend) for one config; falls back to
+    xla with the traceback on stderr (never silently)."""
+    iters = build_kw.pop("iters", ITERS)
+    width = build_kw.get("width", WIDTH)
+    height = build_kw.get("height", HEIGHT)
+    frames = build_kw.get("inner_frames", INNER_FRAMES)
+    try:
+        step, args = build(backend, **build_kw)
+        out = step(jnp.float32(0), *args)
+        float(np.asarray(out))  # force compile + one run
+    except Exception:
+        print(f"WARNING: pallas bench path failed ({build_kw}); falling "
+              "back to xla. Traceback:", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+        backend = f"xla(fallback-from-{backend})"
+        step, args = build("xla", **build_kw)
+        out = step(jnp.float32(0), *args)
+        float(np.asarray(out))
+
+    t0 = time.perf_counter()
+    outs = [step(jnp.float32(i + 1), *args) for i in range(iters)]
+    for o in outs:
+        float(np.asarray(o))
+    dt = time.perf_counter() - t0
+    return (width * height * iters * frames) / dt / 1e6, backend
 
 
 def parity_check() -> str:
@@ -146,27 +188,18 @@ def main() -> None:
     backend = "pallas" if on_tpu else "xla"
     parity = parity_check() if on_tpu else "skipped(cpu)"
 
-    try:
-        step, args = build(backend)
-        out = step(jnp.float32(0), *args)
-        float(np.asarray(out))  # force compile + one run
-    except Exception:
-        print("WARNING: pallas bench path failed; falling back to xla. "
-              "Traceback:", file=sys.stderr)
-        traceback.print_exc(file=sys.stderr)
-        backend = f"xla(fallback-from-{backend})"
-        step, args = build("xla")
-        out = step(jnp.float32(0), *args)
-        float(np.asarray(out))
+    mpix_s, backend_used = measure(backend)
 
-    t0 = time.perf_counter()
-    outs = [step(jnp.float32(i + 1), *args) for i in range(ITERS)]
-    float(np.asarray(outs[-1]))
-    for o in outs:
-        float(np.asarray(o))
-    dt = time.perf_counter() - t0
+    # Reference-default scale (1M Gaussians, ~5.04M pairs). On CPU the
+    # config is too big for CI-style runs; report it only on TPU.
+    mpix_1m, backend_1m = (0.0, "skipped(cpu)")
+    if on_tpu:
+        mpix_1m, backend_1m = measure(
+            backend, n_gauss=N_GAUSS_1M, capacity=PAIR_CAPACITY_1M,
+            scale_shift=SCALE_SHIFT_1M, inner_frames=INNER_FRAMES_1M,
+            iters=ITERS_1M,
+        )
 
-    mpix_s = (WIDTH * HEIGHT * ITERS * INNER_FRAMES) / dt / 1e6
     print(
         json.dumps(
             {
@@ -174,8 +207,11 @@ def main() -> None:
                 "value": round(mpix_s, 3),
                 "unit": "Mpixels/s",
                 "vs_baseline": round(mpix_s / NOMINAL_GSPLAT_MPIX_S, 4),
-                "backend": backend,
+                "backend": backend_used,
                 "parity": parity,
+                "value_n1m": round(mpix_1m, 3),
+                "vs_baseline_n1m": round(mpix_1m / NOMINAL_GSPLAT_MPIX_S, 4),
+                "backend_n1m": backend_1m,
             }
         )
     )

@@ -23,14 +23,23 @@ from dnsplatter_tpu.ops.render import render
 
 
 def make_gt_gaussians(key: jax.Array, n: int = 800, extent: float = 1.0,
-                      sh_degree: int = 3) -> Tuple[GaussianParams, jax.Array]:
-    """A colorful random Gaussian-mixture 'room'."""
+                      sh_degree: int = 3, scale_shift: float = 0.0,
+                      ) -> Tuple[GaussianParams, jax.Array]:
+    """A colorful random Gaussian-mixture 'room'.
+
+    `scale_shift` offsets the log-scales: real initializations derive
+    scales from 3-NN distances (reference dn_model.py:186-189), which
+    shrink as density^(1/3) — pass -ln(N/N0)/3 to emulate an N-point
+    seed cloud's splat size at the default N0's overdraw.
+    """
     from dnsplatter_tpu.ops.quat import random_quats
     from dnsplatter_tpu.ops.sh import num_sh_bases, rgb_to_sh
 
     ks = jax.random.split(key, 6)
     means = jax.random.uniform(ks[0], (n, 3), minval=-extent, maxval=extent)
-    scales = jax.random.uniform(ks[1], (n, 3), minval=-4.2, maxval=-2.8)
+    scales = jax.random.uniform(
+        ks[1], (n, 3), minval=-4.2 + scale_shift, maxval=-2.8 + scale_shift
+    )
     quats = random_quats(ks[2], n)
     colors = jax.random.uniform(ks[3], (n, 3), minval=0.05, maxval=0.95)
     opac = jax.random.uniform(ks[4], (n,), minval=1.0, maxval=3.0)  # logits

@@ -97,6 +97,18 @@ class RasterizeConfig(NamedTuple):
     # cost (+6 expanded rows + a searchsorted) outweighs the kernel
     # savings; enable for heavy-overdraw / strongly anisotropic scenes.
     exact_cull: bool = False
+    # Binning sort scheme:
+    #   "packed"  — ONE int32 key `tile * (N+1) + gauss`; the sorted keys
+    #               decode to per-pair gaussian indices (1 key + 1
+    #               payload row). Requires (T_pad+1)*(N+1) < 2^31.
+    #   "tilekey" — STABLE sort on `tile*2 + cullbit` with the gaussian
+    #               index riding as payload (1 key + 2 payload rows,
+    #               ~1 extra sort row of cost). Within a tile the
+    #               pre-sort pair order IS ascending-gaussian (= depth)
+    #               order, so stability reproduces the packed layout
+    #               exactly — no integer ceiling, any N.
+    #   "auto"    — packed when it fits in int32, else tilekey.
+    sort_scheme: str = "auto"
 
     @property
     def tiles_x(self) -> int:
@@ -288,14 +300,16 @@ def bin_gaussians(
         axis=0,
     )  # (4, N) field-major
     gauss_starts = jnp.concatenate([offsets, total[None]]).astype(jnp.int32)
+    # expand_segments is exact for int rows < 2^24 and any f32 rows; it
+    # streams the value table from HBM when N exceeds VMEM residency, so
+    # the only bounds are the f32-integer ceilings.
     pallas_expand = (cfg.backend == "pallas" and c < (1 << 24)
-                     and n <= (1 << 18))
-    # NOTE: culling requires the pallas expand path (n <= 2^18,
-    # capacity < 2^24) and the packed-key sort; outside those bounds an
-    # exact_cull request silently no-ops (the layout stays correct).
+                     and n < (1 << 24))
+    # NOTE: culling requires the pallas expand path (capacity and N
+    # < 2^24); outside those bounds an exact_cull request silently
+    # no-ops (the layout stays correct).
     cull = (cfg.exact_cull and pallas_expand and conics is not None
-            and opacities is not None
-            and (t_pad + 1) * (n + 1) <= jnp.iinfo(jnp.int32).max)
+            and opacities is not None)
     pair_flds = None
     if pallas_expand:
         # Per-pair fields via the expand_segments kernel: VMEM-resident
@@ -386,7 +400,16 @@ def bin_gaussians(
     # contiguous — the gradient reduction becomes a segmented sum over
     # contiguous ranges instead of a 2M-row scatter-add.
     qv = jnp.where(live, q_spatial, c)
-    if (t_pad + 1) * big <= jnp.iinfo(jnp.int32).max:
+    scheme = cfg.sort_scheme
+    if scheme == "auto":
+        scheme = ("packed"
+                  if (t_pad + 1) * big <= jnp.iinfo(jnp.int32).max
+                  else "tilekey")
+    if scheme == "packed":
+        assert (t_pad + 1) * big <= jnp.iinfo(jnp.int32).max, (
+            "packed sort key overflows int32 at this (tiles, N); use "
+            "sort_scheme='tilekey'"
+        )
         sentinel = jnp.int32(t_pad * big + n)
         key_real = jnp.where(live, tile_id * big + pair_gauss0, sentinel)
         if cull:
@@ -407,13 +430,26 @@ def bin_gaussians(
             ).astype(jnp.int32)
             tile_counts = surv_end - starts[:-1]
     else:
-        # Large-N fallback: lexicographic 2-key sort (tile, gauss) — the
-        # packed key would overflow int32 and x64 is disabled.
-        tile_key = jnp.where(live, tile_id, t_pad)
-        gauss_key = jnp.where(live, pair_gauss0, n)
-        _, pair_gauss, pair_pos = jax.lax.sort(
-            (tile_key, gauss_key, qv), num_keys=2
+        # tilekey: STABLE sort on `tile*2 + cullbit` only. Within a tile,
+        # pre-sort pair order already ascends in gaussian (= depth)
+        # order, so stability yields exactly the packed layout; the
+        # gaussian index rides as payload instead of decoding from the
+        # key. Works for any N (no int32 packing ceiling).
+        sentinel = jnp.int32(2 * t_pad + 2)
+        key_real = jnp.where(live, tile_id * 2, sentinel)
+        gv = jnp.where(live, pair_gauss0, n)
+        if cull:
+            key_real = jnp.where(live & ~survive, tile_id * 2 + 1, key_real)
+            gv = jnp.where(live & ~survive, n, gv)
+        keys, pair_gauss, pair_pos = jax.lax.sort(
+            (key_real, gv, qv), num_keys=1, is_stable=True
         )
+        if cull:
+            bounds = jnp.arange(t_pad, dtype=jnp.int32) * 2 + 1
+            surv_end = jnp.searchsorted(
+                keys, bounds, side="left"
+            ).astype(jnp.int32)
+            tile_counts = surv_end - starts[:-1]
 
     # Sentinel chunk tail: kernel DMA windows start at the preceding
     # 128-lane boundary and may overrun a tile's end by < chunk lanes.

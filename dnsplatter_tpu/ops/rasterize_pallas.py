@@ -180,6 +180,54 @@ def _make_expand_kernel(r: int, ch: int, n_pad: int, win: int,
     return kernel
 
 
+def _make_expand_stream_kernel(r: int, ch: int, wb: int, win: int,
+                               out_dtype=jnp.int32):
+    """Large-N expand: the boundary tables stay VMEM-resident, but the
+    value table is streamed from HBM in `wb`-Gaussian blocks as each
+    output chunk's window sweep needs them (monotone access)."""
+    wpb = wb // win
+
+    def kernel(base_sref, nwin_sref, vals_hbm, s_ref, e_ref, out_ref,
+               vals_vmem, sem):
+        j = pl.program_id(0)
+        p0 = j * ch
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1) + p0
+        base = base_sref[j]
+        nw = nwin_sref[j]
+        nblk = pl.cdiv(nw, wpb)
+
+        def blk(si, acc):
+            b0 = pl.multiple_of(base + si * wb, win)
+            cp = pltpu.make_async_copy(
+                vals_hbm.at[:, pl.ds(b0, wb)], vals_vmem, sem
+            )
+            cp.start()
+            cp.wait()
+            nw_here = jnp.minimum(nw - si * wpb, wpb)
+
+            def wbody(wi, acc2):
+                bl = pl.multiple_of(wi * win, win)  # block-local lanes
+                bg = pl.multiple_of(b0 + wi * win, win)  # global (s/e)
+                s_col = s_ref[0:1, pl.ds(bg, win)].reshape(win, 1)
+                e_col = e_ref[0:1, pl.ds(bg, win)].reshape(win, 1)
+                onehot = ((s_col <= lane) & (lane < e_col)).astype(
+                    jnp.float32
+                )
+                vw = vals_vmem[:, pl.ds(bl, win)]
+                return acc2 + jax.lax.dot_general(
+                    vw, onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            return jax.lax.fori_loop(0, nw_here, wbody, acc)
+
+        acc = jax.lax.fori_loop(0, nblk, blk, jnp.zeros((r, ch), jnp.float32))
+        out_ref[...] = acc.astype(out_dtype)
+
+    return kernel
+
+
 def expand_segments(
     vals: jax.Array,  # (R, N) int32 |v| < 2^24, or f32 (any value)
     starts: jax.Array,  # (N + 1,) int32 ascending segment boundaries
@@ -187,6 +235,7 @@ def expand_segments(
     chunk: int = 2048,
     win: int = 128,
     out_dtype=jnp.int32,
+    resident_max: int = 1 << 18,
 ) -> jax.Array:
     """Piecewise-constant expansion: out[:, p] = vals[:, g] for
     starts[g] <= p < starts[g+1] — the transpose of reduce_segments.
@@ -199,8 +248,15 @@ def expand_segments(
     Positions >= starts[-1] produce zeros. Exact for int32 |vals| < 2^24,
     and exact for ARBITRARY f32 vals (out_dtype=float32): segments are
     disjoint, so every output lane contracts exactly one val * 1.0 term.
+
+    Above `resident_max` segments the value table no longer fits VMEM:
+    the streaming variant keeps only the boundary rows resident (8 MB at
+    N=1M) and DMAs value blocks on demand — layout/output identical
+    (tests/test_binning.py asserts bit-equality).
     """
     r, n = vals.shape
+    if n + 1 > resident_max:
+        return _expand_segments_stream(vals, starts, out_len, win, out_dtype)
     n_pad = -(-(n + 1) // win) * win + win
     cp = -(-out_len // chunk) * chunk
     nchunks = cp // chunk
@@ -231,6 +287,53 @@ def expand_segments(
                 pltpu.VMEM((1, n_pad), jnp.int32),
                 pltpu.VMEM((1, n_pad), jnp.int32),
                 pltpu.SemaphoreType.DMA((3,)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((r, cp), out_dtype)],
+        interpret=_interpret(),
+    )(base, nwin, vals_p, s_p[None, :], e_p[None, :])[0]
+    return out[:, :out_len]
+
+
+def _expand_segments_stream(
+    vals: jax.Array,
+    starts: jax.Array,
+    out_len: int,
+    win: int = 128,
+    out_dtype=jnp.int32,
+    chunk: int = 4096,
+    wb: int = 2048,
+) -> jax.Array:
+    """expand_segments for N past VMEM residency (see docstring there)."""
+    r, n = vals.shape
+    n_pad = -(-(n + 1) // win) * win + wb  # block DMAs may overrun by < wb
+    cp = -(-out_len // chunk) * chunk
+    nchunks = cp // chunk
+    vals_p = jnp.pad(vals, ((0, 0), (0, n_pad - n))).astype(jnp.float32)
+    big = jnp.int32(2147483647)
+    s_p = jnp.concatenate([starts[:-1], jnp.full((n_pad - n,), big)])
+    e_p = jnp.concatenate([starts[1:], jnp.full((n_pad - n,), big)])
+    bounds = jnp.arange(nchunks + 1, dtype=jnp.int32) * chunk
+    glo = jnp.searchsorted(e_p[:n], bounds[:-1], side="right").astype(jnp.int32)
+    ghi = jnp.searchsorted(s_p[:n], bounds[1:], side="left").astype(jnp.int32)
+    base = (glo // win) * win
+    nwin = jnp.maximum(-(-(jnp.maximum(ghi - base, 0)) // win), 0)
+    out = pl.pallas_call(
+        _make_expand_stream_kernel(r, chunk, wb, win, out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nchunks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # vals (streamed)
+                pl.BlockSpec((1, n_pad), lambda j, s1, s2: (0, 0),
+                             memory_space=pltpu.VMEM),  # starts (resident)
+                pl.BlockSpec((1, n_pad), lambda j, s1, s2: (0, 0),
+                             memory_space=pltpu.VMEM),  # ends (resident)
+            ],
+            out_specs=[pl.BlockSpec((r, chunk), lambda j, s1, s2: (0, j))],
+            scratch_shapes=[
+                pltpu.VMEM((r, wb), jnp.float32),
+                pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((r, cp), out_dtype)],
@@ -424,11 +527,13 @@ def forward_tiles(
 
 
 def _make_reduce_kernel(gw: int, chunk: int, blk: int):
+    # starts_sref is the blk-strided subsample starts[::blk] — the kernel
+    # only needs block bounds, and the full (N+1,) array would strain
+    # scalar-prefetch memory at N ~ 1M.
     def kernel(starts_sref, grads_hbm, s_ref, e_ref, out_ref, g_vmem, sems):
         b = pl.program_id(0)
-        g0 = b * blk
-        l0 = pl.multiple_of((starts_sref[g0] // chunk) * chunk, chunk)
-        l1 = starts_sref[g0 + blk]  # end of the block's last segment
+        l0 = pl.multiple_of((starts_sref[b] // chunk) * chunk, chunk)
+        l1 = starts_sref[b + 1]  # end of the block's last segment
         nch = pl.cdiv(jnp.maximum(l1 - l0, 0), chunk)
 
         s_row = s_ref[0]  # (1, BLK) segment starts
@@ -502,6 +607,7 @@ def reduce_segments(
     ])
     s_blocks = starts_p[:n_pad].reshape(-1, 1, blk)
     e_blocks = starts_p[1:n_pad + 1].reshape(-1, 1, blk)
+    starts_coarse = starts_p[::blk]  # (n_pad//blk + 1,) block bounds
     kernel = _make_reduce_kernel(gw_pad, chunk, blk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -528,7 +634,7 @@ def reduce_segments(
         out_shape=[jax.ShapeDtypeStruct((n_pad // blk, gw_pad, blk),
                                         jnp.float32)],
         interpret=_interpret(),
-    )(starts_p, grads, s_blocks, e_blocks)
+    )(starts_coarse, grads, s_blocks, e_blocks)
     return jnp.moveaxis(out, 1, 0).reshape(gw_pad, n_pad)[:gw]
 
 
@@ -541,9 +647,8 @@ def _make_reduce_packed_kernel(pr: int, chunk: int, blk: int):
 
     def kernel(starts_sref, grads_hbm, s_ref, e_ref, out_ref, g_vmem, sems):
         b = pl.program_id(0)
-        g0 = b * blk
-        l0 = pl.multiple_of((starts_sref[g0] // chunk) * chunk, chunk)
-        l1 = starts_sref[g0 + blk]
+        l0 = pl.multiple_of((starts_sref[b] // chunk) * chunk, chunk)
+        l1 = starts_sref[b + 1]
         nch = pl.cdiv(jnp.maximum(l1 - l0, 0), chunk)
 
         s_row = s_ref[0]
@@ -621,6 +726,7 @@ def reduce_segments_packed(
     ])
     s_blocks = starts_p[:n_pad].reshape(-1, 1, blk)
     e_blocks = starts_p[1:n_pad + 1].reshape(-1, 1, blk)
+    starts_coarse = starts_p[::blk]  # (n_pad//blk + 1,) block bounds
     kernel = _make_reduce_packed_kernel(pr_pad, chunk, blk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -647,7 +753,7 @@ def reduce_segments_packed(
         out_shape=[jax.ShapeDtypeStruct((n_pad // blk, gw, blk),
                                         jnp.float32)],
         interpret=_interpret(),
-    )(starts_p, packed, s_blocks, e_blocks)
+    )(starts_coarse, packed, s_blocks, e_blocks)
     res = jnp.moveaxis(out, 1, 0).reshape(gw, n_pad)
     # decoded fields live in rows [0, 2*pr); abs rows at [2*pr_pad, +2)
     return jnp.concatenate(

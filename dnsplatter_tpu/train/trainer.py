@@ -67,6 +67,25 @@ class TrainConfig:
     # (densify/cull/reset) also runs on the sharded state and the layout
     # is re-pinned after each event. CLI: `--train.devices N`.
     devices: int = 0
+    # Multi-host / data-parallel training (parallel/distributed.py — the
+    # reference's DDP role, dn_pipeline.py:122-128). `distributed=True`
+    # calls jax.distributed.initialize (coordinator from the standard
+    # JAX_* env) and builds ONE global (dp, gauss) mesh: dp spans
+    # processes (each host trains on its own camera shard, gradients
+    # pmean'd over DCN), gauss spans each host's chips. `dp` > 1 forces
+    # the data-parallel width explicitly (usable single-process for
+    # testing: dp*gauss <= visible devices). Checkpoints are
+    # process-0-gated. CLI: `--train.distributed true` / `--train.dp N`.
+    distributed: bool = False
+    dp: int = 1
+    # Multi-chip strategy for `devices` > 1:
+    #   "gspmd" — Gaussian-axis sharding, GSPMD inserts the collectives
+    #             (parallel/sharding.py; collective sizes are pinned by
+    #             tests/test_parallel.py).
+    #   "tile"  — explicit shard_map: per-slab rasterize fwd/bwd with the
+    #             screen-payload all_gather / Gaussian-grad psum
+    #             (parallel/tile_sharding.make_tile_train_step).
+    parallel_strategy: str = "gspmd"
     # Size pair_capacity from the data at startup: audit raw
     # (gaussian, tile) pair counts over sample frames and take
     # max * auto_capacity_margin (rounded to the chunk). Every sort,
@@ -236,7 +255,30 @@ class Trainer:
                 )
                 print(f"auto pair capacity: {cap}", flush=True)
         self.mesh = None
-        if train_cfg.devices and train_cfg.devices > 1:
+        self.dp = 1
+        self.dist = None
+        if train_cfg.distributed or train_cfg.dp > 1:
+            from dnsplatter_tpu.parallel import distributed as D
+
+            self.dist = D.init_distributed()
+            self.dp = (train_cfg.dp if train_cfg.dp > 1
+                       else max(self.dist.process_count, 1))
+            devs = jax.devices()
+            ndev = train_cfg.devices or len(devs)
+            if model_cfg.camera_optimizer_mode != "off" and \
+                    self.dist.process_count > 1:
+                raise NotImplementedError(
+                    "camera optimizer keeps host-side state per process; "
+                    "disable it for multi-host runs"
+                )
+            if model_cfg.num_downscales > 0:
+                raise NotImplementedError(
+                    "progressive downscaling is not wired into the dp "
+                    "step (dn-splatter default num_downscales=0)"
+                )
+            self.mesh = D.make_hybrid_mesh(dp=self.dp, devices=devs[:ndev])
+            self._shard_state()
+        elif train_cfg.devices and train_cfg.devices > 1:
             from dnsplatter_tpu.parallel.sharding import make_mesh
 
             devs = jax.devices()
@@ -343,7 +385,16 @@ class Trainer:
         )
 
     def _shard_state(self) -> None:
-        """(Re-)pin the Gaussian state to the mesh's Gaussian-axis layout."""
+        """(Re-)pin the Gaussian state to the mesh's Gaussian-axis layout
+        (and dp-replicated on the hybrid mesh)."""
+        if self.dp > 1 or (self.mesh is not None and "dp" in self.mesh.shape):
+            from dnsplatter_tpu.parallel.distributed import shard_state_hybrid
+
+            self.params, self.alive, self.adam, self.stats = (
+                shard_state_hybrid(self.mesh, self.params, self.alive,
+                                   self.adam, self.stats)
+            )
+            return
         from dnsplatter_tpu.parallel.sharding import shard_gaussian_state
 
         self.params, self.alive, self.adam, self.stats = shard_gaussian_state(
@@ -353,15 +404,34 @@ class Trainer:
     def _get_step_fn(self, camera: Camera, sh_degree: int) -> Callable:
         keyt = (camera.width, camera.height, sh_degree)
         if keyt not in self._step_fns:
-            if self.mesh is not None:
-                from dnsplatter_tpu.parallel.sharding import (
-                    make_sharded_train_step,
+            if self.dp > 1:
+                from dnsplatter_tpu.parallel.distributed import (
+                    make_dp_train_step,
                 )
 
-                self._step_fns[keyt] = make_sharded_train_step(
+                self._step_fns[keyt] = make_dp_train_step(
                     self.model_cfg, self.optim_cfg, self._raster_cfg(camera),
                     sh_degree, self.mesh,
                 )
+            elif self.mesh is not None:
+                if self.train_cfg.parallel_strategy == "tile":
+                    from dnsplatter_tpu.parallel.tile_sharding import (
+                        make_tile_train_step,
+                    )
+
+                    self._step_fns[keyt] = make_tile_train_step(
+                        self.model_cfg, self.optim_cfg,
+                        self._raster_cfg(camera), sh_degree, self.mesh,
+                    )
+                else:
+                    from dnsplatter_tpu.parallel.sharding import (
+                        make_sharded_train_step,
+                    )
+
+                    self._step_fns[keyt] = make_sharded_train_step(
+                        self.model_cfg, self.optim_cfg,
+                        self._raster_cfg(camera), sh_degree, self.mesh,
+                    )
             else:
                 self._step_fns[keyt] = make_train_step(
                     self.model_cfg, self.optim_cfg, self._raster_cfg(camera),
@@ -446,6 +516,8 @@ class Trainer:
         k_dispatch = max(1, self.train_cfg.steps_per_dispatch)
         if self.model_cfg.camera_optimizer_mode != "off":
             k_dispatch = 1  # pose opt needs per-step host updates
+        if self.dp > 1:
+            k_dispatch = 1  # the dp step already batches dp frames/step
         if k_dispatch > 1:
             assert self.model_cfg.refine_every % k_dispatch == 0, (
                 "steps_per_dispatch must divide refine_every"
@@ -460,7 +532,10 @@ class Trainer:
             if d > 1:
                 cam, batch = self._downscaled(self.step % n, cam, batch, d)
             sh = sh_degree_to_use(self.step, self.model_cfg)
-            if k_now > 1 and d == 1:
+            if self.dp > 1:
+                loss = self._dispatch_dp(cam, sh, n)
+                self.step += 1
+            elif k_now > 1 and d == 1:
                 loss = self._dispatch_multi(cam, sh, k_now, n)
                 self.step += k_now
             else:
@@ -512,13 +587,19 @@ class Trainer:
                     wtr.write_scalars(self.step, m)
             if (
                 self.out_dir
+                and self._is_main()
                 and self.train_cfg.steps_per_save
                 and self.step % self.train_cfg.steps_per_save == 0
             ):
                 self.save_checkpoint()
-        if self.out_dir:
+        if self.out_dir and self._is_main():
             self.save_checkpoint()
         return self._history
+
+    def _is_main(self) -> bool:
+        """Checkpoint writes are process-0-gated in multi-host runs (the
+        replicated state is identical on every process)."""
+        return self.dist is None or self.dist.is_main
 
     def _device_batch(self, idx: int, batch) -> dict:
         """Device-resident copy of frame `idx`'s batch, cached: the
@@ -535,6 +616,44 @@ class Trainer:
         dev = {k: jnp.asarray(v) for k, v in batch.items()}
         self._batch_cache[idx] = (sig, dev)
         return dev
+
+    def _dispatch_dp(self, cam0: Camera, sh: int, n: int) -> float:
+        """One data-parallel step: dp frames rendered concurrently across
+        the mesh's dp axis, gradients pmean'd (the reference's DDP step,
+        dn_pipeline.py:122-128). Each process feeds only its own
+        contiguous dp-rank block of frames."""
+        from dnsplatter_tpu.parallel import distributed as D
+
+        dp = self.dp
+        ctx = self.dist or D.dist_context()
+        pc = max(ctx.process_count, 1)
+        dpl = dp // pc
+        fn = self._get_step_fn(cam0, sh)
+        ranks = range(ctx.process_index * dpl, (ctx.process_index + 1) * dpl)
+        gidx = [(self.step * dp + r) % n for r in ranks]
+        key_sig = tuple(gidx)
+        hit = self._batch_cache.get(("dp", key_sig)) \
+            if self.train_cfg.cache_batches_on_device else None
+        if hit is not None:
+            cam_g, batch_g = hit
+        else:
+            cams, batches = zip(*[self.data.get(i) for i in gidx])
+            cam_g, batch_g = D.stack_frames(self.mesh, cams, batches)
+            if self.train_cfg.cache_batches_on_device:
+                self._batch_cache[("dp", key_sig)] = (cam_g, batch_g)
+        self.key, *ks = jax.random.split(self.key, dp + 1)
+        keys = D.put_dp(self.mesh, np.stack([np.asarray(k) for k in ks]))
+        all_gidx = [(self.step * dp + r) % n for r in range(dp)]
+        adjs = D.put_dp(self.mesh, np.asarray(self.cam_adj)[all_gidx])
+        (self.params, self.adam, self.stats, loss, gadjs) = fn(
+            self.params, self.alive, self.adam, self.stats, cam_g, batch_g,
+            jnp.asarray(self.step, jnp.int32), keys, adjs,
+        )
+        if self.model_cfg.camera_optimizer_mode != "off":
+            g = np.asarray(gadjs)  # single-process only (init guards)
+            for r, gi in enumerate(all_gidx):
+                self._cam_opt_update(gi, g[r])
+        return loss
 
     def _dispatch_multi(self, cam0: Camera, sh: int, k: int, n: int) -> float:
         """Run k sequential steps in one device dispatch (lax.scan)."""

@@ -278,3 +278,68 @@ def test_exact_cull_drops_only_invisible_pairs():
             amax = opac[gi] * np.exp(-sig).max()
             assert amax < 1.0 / 255.0, (
                 f"tile {t} gauss {gi}: culled pair visible (alpha {amax})")
+
+
+def test_tilekey_sort_layout_identical_to_packed():
+    """The large-N stable tile-key sort must reproduce the packed-key
+    layout bit-for-bit (the packed key overflows int32 past N ~ 931k at
+    the bench tiling; reference-default workloads are 500k-1M,
+    mushroom_dataparser.py:97-98 / dn_model.py:135)."""
+    from dnsplatter_tpu.data.synthetic import make_gt_gaussians, ring_cameras
+    from dnsplatter_tpu.ops.projection import project_gaussians
+
+    n, w, h = 3000, 256, 160
+    params, alive = make_gt_gaussians(jax.random.PRNGKey(3), n, extent=1.5)
+    cam = ring_cameras(1, width=w, img_height=h, focal=200.0)[0]
+    opac = jax.nn.sigmoid(params.opacities)
+    proj = project_gaussians(
+        params.means, params.quats, jnp.exp(params.scales), cam.viewmat(),
+        float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy), w, h,
+        opacities=opac,
+    )
+    validf = (proj.valid & (alive > 0.5)).astype(jnp.float32)
+    for backend in ("xla", "pallas"):
+        for cull in (False, True):
+            outs = [
+                bin_gaussians(
+                    RasterizeConfig(width=w, height=h, tile_size=16,
+                                    chunk=128, pair_capacity=1 << 16,
+                                    backend=backend, exact_cull=cull,
+                                    sort_scheme=s),
+                    proj.means2d, proj.depths, proj.radii_xy, validf,
+                    conics=proj.conics, opacities=opac,
+                )
+                for s in ("packed", "tilekey")
+            ]
+            for field in ("order", "pair_gauss", "pair_pos", "starts",
+                          "counts", "gauss_starts"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(outs[0], field)),
+                    np.asarray(getattr(outs[1], field)),
+                    err_msg=f"{backend} cull={cull} field={field}",
+                )
+
+
+def test_expand_segments_streaming_matches_resident():
+    """The large-N streaming expand (value table streamed from HBM, only
+    boundaries resident) is bit-identical to the VMEM-resident kernel."""
+    from dnsplatter_tpu.ops.rasterize_pallas import expand_segments
+
+    rng = np.random.default_rng(7)
+    n, out_len = 3000, 17000
+    counts = rng.integers(0, 11, n)
+    counts[rng.uniform(size=n) < 0.3] = 0  # empty segments interleaved
+    starts = jnp.asarray(
+        np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    )
+    vals_i = jnp.asarray(
+        rng.integers(-(1 << 20), 1 << 20, (5, n)).astype(np.int32)
+    )
+    vals_f = jnp.asarray(rng.normal(size=(6, n)).astype(np.float32))
+    a = expand_segments(vals_i, starts, out_len)
+    b = expand_segments(vals_i, starts, out_len, resident_max=256)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    af = expand_segments(vals_f, starts, out_len, out_dtype=jnp.float32)
+    bf = expand_segments(vals_f, starts, out_len, out_dtype=jnp.float32,
+                         resident_max=256)
+    np.testing.assert_array_equal(np.asarray(af), np.asarray(bf))

@@ -125,3 +125,273 @@ def test_sharded_trainer_end_to_end_with_refinement(mesh8):
     assert n8 != n0, "densify event did not change the sharded alive count"
     assert n8 == n1, f"sharded refinement diverged: {n8} vs single {n1}"
     assert np.isfinite(np.asarray(t8.params.means)).all()
+
+
+def test_distributed_context_and_host_sharding():
+    """Degenerate (1-process) bring-up of the multi-host runtime:
+    context, strided host-local frame shard, checkpoint gating."""
+    from dnsplatter_tpu.parallel import distributed as D
+
+    ctx = D.init_distributed()
+    assert ctx.process_count == 1 and ctx.process_index == 0
+    assert ctx.is_main and D.is_main_process()
+    assert D.host_local_indices(7) == list(range(7))
+    # shard math for a hypothetical 3-process world
+    fake = D.DistContext(process_index=1, process_count=3, initialized=True)
+    assert D.host_local_indices(8, fake) == [1, 4, 7]
+
+
+def test_dp_train_step_matches_per_frame_average(mesh8):
+    """The hybrid (dp x gauss) step == one Adam update on the average of
+    the two frames' gradients, computed single-device (the DDP
+    semantics, dn_pipeline.py:122-128)."""
+    from dnsplatter_tpu.data.synthetic import make_synthetic_scene
+    from dnsplatter_tpu.models.dn_model import (
+        ModelConfig, apply_binary_opacities, compute_loss, get_outputs,
+    )
+    from dnsplatter_tpu.models.gaussians import init_from_points
+    from dnsplatter_tpu.parallel import distributed as D
+    from dnsplatter_tpu.train.optim import OptimConfig, adam_step, init_adam
+    from dnsplatter_tpu.train.strategy import init_stats, update_stats
+
+    mesh = D.make_hybrid_mesh(dp=2, devices=jax.devices()[:8])
+    scene = make_synthetic_scene(seed=0, n_gaussians=200, n_cameras=2,
+                                 width=64, height=64, pair_capacity=1 << 12)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (64, 3)).astype(np.float32)
+    params, alive, _ = init_from_points(jax.random.PRNGKey(0), pts, cols,
+                                        sh_degree=1, capacity=256)
+    adam = init_adam(params)
+    stats = init_stats(256)
+    mc = ModelConfig(use_depth_loss=True, depth_lambda=0.2,
+                     use_normal_loss=True, sh_degree=1)
+    rc = RasterizeConfig(width=64, height=64, tile_size=16, chunk=32,
+                         tile_block=4, pair_capacity=1 << 12)
+    oc = OptimConfig()
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
+    step = jnp.asarray(0, jnp.int32)
+
+    # -- reference: per-frame grads on one device, averaged --
+    def frame_grads(i):
+        cam, batch = scene.get(i)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        kbg, kloss = jax.random.split(keys[i])
+        p = apply_binary_opacities(params, alive, mc, step)
+        sink = jnp.zeros_like(p.means[:, :2])
+
+        def loss_fn(p, abs_sink):
+            outputs, info = get_outputs(
+                p, alive, cam, mc, rc, sh_degree=1, absgrad_sink=abs_sink,
+                training=True, rng=kbg,
+            )
+            loss, _ = compute_loss(outputs, batch, p, alive, cam, mc,
+                                   step, kloss)
+            return loss, info
+
+        (loss, info), (gp, gabs) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(p, sink)
+        return loss, gp, gabs, info
+
+    l0, g0, a0, i0 = frame_grads(0)
+    l1, g1, a1, i1 = frame_grads(1)
+    gp_ref = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+    am = alive
+    gp_ref = jax.tree.map(
+        lambda g: g * am.reshape((-1,) + (1,) * (g.ndim - 1)), gp_ref)
+    ref_params, ref_adam = adam_step(oc, params, gp_ref, adam, step)
+    ref_stats = update_stats(
+        init_stats(256), a0 + a1, jnp.maximum(i0.radii, i1.radii),
+        jnp.maximum(i0.valid.astype(jnp.float32),
+                    i1.valid.astype(jnp.float32)) > 0.5, 64.0)
+
+    # -- hybrid dp step --
+    params_s, alive_s, adam_s, stats_s = D.shard_state_hybrid(
+        mesh, params, alive, adam, stats)
+    step_fn = D.make_dp_train_step(mc, oc, rc, 1, mesh)
+    cams, batches = zip(*[scene.get(i) for i in range(2)])
+    cam_g, batch_g = D.stack_frames(mesh, cams, batches)
+    dp_sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp"))
+    keys_g = jax.device_put(keys, dp_sh)
+    adjs = jax.device_put(jnp.zeros((2, 6)), dp_sh)
+    new_params, new_adam, new_stats, loss, _ = step_fn(
+        params_s, alive_s, adam_s, stats_s, cam_g, batch_g, step,
+        keys_g, adjs)
+
+    np.testing.assert_allclose(float(loss), float((l0 + l1) / 2), rtol=1e-5)
+    for f in params.__dataclass_fields__:
+        np.testing.assert_allclose(
+            np.asarray(getattr(new_params, f)),
+            np.asarray(getattr(ref_params, f)),
+            rtol=2e-4, atol=1e-6, err_msg=f"param {f}")
+    np.testing.assert_allclose(np.asarray(new_stats.grad_sum),
+                               np.asarray(ref_stats.grad_sum),
+                               rtol=2e-4, atol=1e-7)
+
+
+def test_trainer_dp_mode_end_to_end(mesh8):
+    """Trainer(dp=2): hybrid data-parallel training through a densify
+    event, finite and decreasing loss."""
+    from dnsplatter_tpu.data.synthetic import make_synthetic_scene
+    from dnsplatter_tpu.models.dn_model import ModelConfig
+    from dnsplatter_tpu.train.trainer import TrainConfig, Trainer
+
+    scene = make_synthetic_scene(seed=0, n_gaussians=300, n_cameras=4,
+                                 width=64, height=64,
+                                 pair_capacity=1 << 13)
+    pts, cols = scene.seed_points(jax.random.PRNGKey(1), noise=0.03)
+    mc = ModelConfig(
+        use_depth_loss=True, depth_lambda=0.2, use_normal_loss=True,
+        sh_degree=1, warmup_length=2, refine_every=8,
+        densify_grad_thresh=1e-6, densify_size_thresh=1e-4,
+    )
+    tr = Trainer(
+        data=scene, seed_points=(pts, cols), model_cfg=mc,
+        train_cfg=TrainConfig(dp=2, pair_capacity=1 << 13, chunk=32,
+                              tile_block=4, seed=5, steps_per_eval_image=0,
+                              auto_pair_capacity=False),
+    )
+    assert tr.mesh is not None and tr.mesh.shape == {"dp": 2, "gauss": 4}
+    n0 = int(jnp.sum(tr.alive))
+    h = tr.train(num_steps=18, log_every=6)
+    losses = [r["loss"] for r in h if "loss" in r]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    # refinement ran on the hybrid-sharded state
+    assert int(jnp.sum(tr.alive)) != n0
+    assert np.isfinite(np.asarray(tr.params.means)).all()
+
+
+def _collective_output_bytes(hlo_text):
+    """Total bytes moved by cross-device collectives in compiled HLO."""
+    import re
+
+    dt_bytes = {"f32": 4, "s32": 4, "u32": 4, "pred": 1, "f16": 2,
+                "bf16": 2, "s8": 1, "u8": 1, "f64": 8, "s64": 8}
+    total = 0
+    ops = []
+    for m in re.finditer(
+        r"=\s*([a-z0-9]+)\[([0-9,]*)\][^=]*?\s"
+        r"(all-gather|all-reduce|reduce-scatter|collective-permute|"
+        r"all-to-all)\(", hlo_text,
+    ):
+        dt, dims, op = m.group(1), m.group(2), m.group(3)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * dt_bytes.get(dt, 4)
+        ops.append((op, dt, dims))
+    return total, ops
+
+
+def test_gspmd_sharded_step_collectives_are_bounded(mesh8):
+    """Pin the GSPMD layout: the compiled sharded train step must not
+    move O(capacity x SH) bytes per step (a regression that all-gathers
+    params/Adam state would pass every correctness test while destroying
+    scaling), and per-device argument memory must reflect real sharding."""
+    from dnsplatter_tpu.data.synthetic import make_synthetic_scene
+    from dnsplatter_tpu.models.dn_model import ModelConfig
+    from dnsplatter_tpu.models.gaussians import init_from_points
+    from dnsplatter_tpu.parallel.sharding import make_sharded_train_step
+    from dnsplatter_tpu.train.optim import OptimConfig, init_adam
+    from dnsplatter_tpu.train.strategy import init_stats
+
+    capacity = 8192
+    scene = make_synthetic_scene(seed=0, n_gaussians=200, n_cameras=1,
+                                 width=64, height=64, pair_capacity=1 << 12)
+    cam, batch = scene.get(0)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (4096, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (4096, 3)).astype(np.float32)
+    params, alive, _ = init_from_points(jax.random.PRNGKey(0), pts, cols,
+                                        sh_degree=3, capacity=capacity)
+    adam = init_adam(params)
+    stats = init_stats(capacity)
+    params, alive, adam, stats = shard_gaussian_state(
+        mesh8, params, alive, adam, stats)
+    mc = ModelConfig(use_depth_loss=True, depth_lambda=0.2,
+                     use_normal_loss=True, sh_degree=3)
+    rc = RasterizeConfig(width=64, height=64, tile_size=16, chunk=32,
+                         tile_block=4, pair_capacity=1 << 12)
+    fn = make_sharded_train_step(mc, OptimConfig(), rc, 3, mesh8)
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+    compiled = fn.lower(
+        params, alive, adam, stats, cam, batch_j,
+        jnp.asarray(0, jnp.int32), jax.random.PRNGKey(1), jnp.zeros((6,)),
+    ).compile()
+
+    state_bytes = sum(
+        np.prod(x.shape) * 4
+        for x in jax.tree.leaves((params, adam))
+    )
+    coll_bytes, ops = _collective_output_bytes(compiled.as_text())
+    # The legitimate exchanges are O(capacity) vectors (screen payload /
+    # masks) — a layout regression that gathers the SH-bearing state
+    # (features_rest alone is capacity*45*4 bytes, x4 with Adam) blows
+    # far past this bound.
+    assert coll_bytes < state_bytes / 8, (
+        f"collectives move {coll_bytes}B vs state {state_bytes}B: {ops}")
+    # Per-device argument memory ~ state/8 + replicated batch, far below
+    # a replicated layout's full-state footprint.
+    arg_bytes = compiled.memory_analysis().argument_size_in_bytes
+    assert arg_bytes < state_bytes / 2, (
+        f"per-device args {arg_bytes}B suggest replicated state "
+        f"({state_bytes}B total)")
+
+
+def test_tile_sharded_train_step_matches_single_device(mesh8):
+    """make_tile_train_step (projection + rasterize fwd/bwd sharded per
+    slab, loss on the assembled image, grads psum'd through the payload
+    all_gather) produces the same update as the single-device step."""
+    from dnsplatter_tpu.data.synthetic import make_synthetic_scene
+    from dnsplatter_tpu.models.dn_model import ModelConfig
+    from dnsplatter_tpu.models.gaussians import init_from_points
+    from dnsplatter_tpu.parallel.tile_sharding import make_tile_train_step
+    from dnsplatter_tpu.train.optim import OptimConfig, init_adam
+    from dnsplatter_tpu.train.strategy import init_stats
+    from dnsplatter_tpu.train.trainer import make_train_step
+
+    scene = make_synthetic_scene(seed=0, n_gaussians=200, n_cameras=1,
+                                 width=64, height=64, pair_capacity=1 << 12)
+    cam, batch = scene.get(0)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (64, 3)).astype(np.float32)
+    params, alive, _ = init_from_points(jax.random.PRNGKey(0), pts, cols,
+                                        sh_degree=1, capacity=256)
+    adam = init_adam(params)
+    stats = init_stats(256)
+    mc = ModelConfig(use_depth_loss=True, depth_lambda=0.2,
+                     use_normal_loss=True, sh_degree=1,
+                     background_color="black")
+    rc = RasterizeConfig(width=64, height=64, tile_size=16, chunk=32,
+                         tile_block=4, pair_capacity=1 << 13)
+    oc = OptimConfig()
+    key = jax.random.PRNGKey(3)
+    step = jnp.asarray(0, jnp.int32)
+
+    ref_fn = make_train_step(mc, oc, rc, 1)
+    rp_, ra_, rs_, rloss, _, _ = ref_fn(params, alive, adam, stats, cam,
+                                        batch, step, key, jnp.zeros((6,)))
+
+    gs = jax.sharding.NamedSharding(mesh8, jax.sharding.PartitionSpec("gauss"))
+    put = lambda t: jax.device_put(t, gs) if getattr(t, "ndim", 0) >= 1 else t
+    params_s = jax.tree.map(put, params)
+    alive_s = put(alive)
+    adam_s = jax.tree.map(put, init_adam(params))
+    stats_s = jax.tree.map(put, init_stats(256))
+    tile_fn = make_tile_train_step(mc, oc, rc, 1, mesh8)
+    tp_, ta_, ts_, tloss, _, _ = tile_fn(params_s, alive_s, adam_s, stats_s,
+                                         cam, batch, step, key,
+                                         jnp.zeros((6,)))
+
+    np.testing.assert_allclose(float(tloss), float(rloss), rtol=1e-5)
+    for f in params.__dataclass_fields__:
+        np.testing.assert_allclose(
+            np.asarray(getattr(tp_, f)), np.asarray(getattr(rp_, f)),
+            rtol=5e-4, atol=2e-6, err_msg=f"param {f}")
+    np.testing.assert_allclose(np.asarray(ts_.grad_sum),
+                               np.asarray(rs_.grad_sum),
+                               rtol=5e-4, atol=1e-7)

@@ -107,6 +107,12 @@ class TSDFExportConfig:
     # TSDFFusion simplification (export_mesh.py:917-919): quadric
     # decimation to this triangle count (None = keep full resolution).
     target_triangles: Optional[int] = None
+    # Brick-hash sparse fusion (mesh/tsdf_sparse.py) keeps the REQUESTED
+    # voxel size at room scale (the reference's ScalableTSDFVolume /
+    # OpenVDB are sparse; the dense grid caps at max_resolution^3).
+    # "auto": sparse whenever the dense grid would have to coarsen the
+    # voxels; True/False force it.
+    sparse: object = "auto"
 
 
 class _IndexView:
@@ -135,20 +141,45 @@ def export_tsdf(params, alive, data, output_dir: Path,
     if bounds is None:
         bounds = tsdf_lib.scene_bounds_from_cameras(cams, cfg.depth_max)
     span = float(np.max(np.asarray(bounds[1]) - np.asarray(bounds[0])))
-    voxel = max(cfg.voxel_size, span / cfg.max_resolution)
-    vol = tsdf_lib.create_volume(
-        bounds[0], bounds[1],
-        tsdf_lib.TSDFConfig(voxel_size=voxel,
-                            sdf_trunc=max(cfg.sdf_trunc, 3 * voxel)),
-    )
-    for cam, out in _render_frames(params, alive, data, model_cfg, sh_degree):
-        depth = np.asarray(out["depth"])
-        depth = np.where(depth < cfg.depth_max, depth, 0.0)
-        vol = tsdf_lib.integrate(
-            vol, depth, np.asarray(out["rgb"]), np.asarray(cam.c2w),
-            float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+    use_sparse = (cfg.sparse is True
+                  or (cfg.sparse == "auto"
+                      and span / cfg.voxel_size > cfg.max_resolution))
+    if use_sparse:
+        # Brick-hash volume: keeps cfg.voxel_size (reference 1 cm,
+        # export_mesh.py:939) regardless of room span.
+        from dnsplatter_tpu.mesh.tsdf_sparse import (
+            SparseTSDF, SparseTSDFConfig,
         )
-    verts, faces, cols = tsdf_lib.extract_mesh(vol, cfg.min_weight)
+
+        sp = SparseTSDF(
+            origin=np.asarray(bounds[0], np.float32),
+            cfg=SparseTSDFConfig(voxel_size=cfg.voxel_size,
+                                 sdf_trunc=cfg.sdf_trunc),
+        )
+        for cam, out in _render_frames(params, alive, data, model_cfg,
+                                       sh_degree):
+            depth = np.asarray(out["depth"])
+            depth = np.where(depth < cfg.depth_max, depth, 0.0)
+            sp.integrate(depth, np.asarray(out["rgb"]),
+                         np.asarray(cam.c2w), float(cam.fx), float(cam.fy),
+                         float(cam.cx), float(cam.cy))
+        verts, faces, cols = sp.extract_mesh(cfg.min_weight)
+    else:
+        voxel = max(cfg.voxel_size, span / cfg.max_resolution)
+        vol = tsdf_lib.create_volume(
+            bounds[0], bounds[1],
+            tsdf_lib.TSDFConfig(voxel_size=voxel,
+                                sdf_trunc=max(cfg.sdf_trunc, 3 * voxel)),
+        )
+        for cam, out in _render_frames(params, alive, data, model_cfg,
+                                       sh_degree):
+            depth = np.asarray(out["depth"])
+            depth = np.where(depth < cfg.depth_max, depth, 0.0)
+            vol = tsdf_lib.integrate(
+                vol, depth, np.asarray(out["rgb"]), np.asarray(cam.c2w),
+                float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+            )
+        verts, faces, cols = tsdf_lib.extract_mesh(vol, cfg.min_weight)
     if cfg.cleanup_clusters:
         from dnsplatter_tpu.mesh.postprocess import remove_small_clusters
 

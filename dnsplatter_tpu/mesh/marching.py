@@ -154,3 +154,38 @@ def marching_tetrahedra(field: np.ndarray, level: float = 0.0,
         & (faces[:, 0] != faces[:, 2])
     )
     return vmerged.astype(np.float32), faces[ok][:, [0, 2, 1]]
+
+
+def filter_faces_to_observed(
+    verts: np.ndarray, faces: np.ndarray, observed: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Keep only faces whose grid cube has all 8 corners observed.
+
+    Substituting +1 for unobserved TSDF voxels creates a phantom shell at
+    the back of every truncation band (the sign flips back to + one voxel
+    behind the surface). Open3D's ScalableTSDFVolume only meshes fully
+    observed cubes; this post-filter reproduces that exactly — each face
+    lies strictly inside one cube (its centroid floors to it), so
+    cube-level filtering after extraction equals masked extraction, and
+    keeps the fast native marching path usable.
+
+    Returns (verts, faces, kept_vertex_indices) — callers remap
+    per-vertex attributes with the index array."""
+    if len(faces) == 0:
+        return verts, faces, np.zeros((0,), np.int64)
+    obs = np.asarray(observed, bool)
+    cube_ok = obs[:-1, :-1, :-1]
+    for dx, dy, dz in _CORNERS[1:]:
+        nx, ny, nz = obs.shape
+        cube_ok = cube_ok & obs[dx:nx - 1 + dx, dy:ny - 1 + dy,
+                                dz:nz - 1 + dz]
+    centroid = verts[faces].mean(axis=1)
+    ci = np.clip(np.floor(centroid).astype(np.int64), 0,
+                 np.asarray(cube_ok.shape) - 1)
+    keep_f = cube_ok[ci[:, 0], ci[:, 1], ci[:, 2]]
+    f = faces[keep_f]
+    used = np.zeros(len(verts), bool)
+    used[f] = True
+    remap = np.cumsum(used) - 1
+    idx = np.nonzero(used)[0]
+    return verts[used], remap[f].astype(np.int32), idx

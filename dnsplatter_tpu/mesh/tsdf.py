@@ -142,15 +142,23 @@ def integrate(
 def extract_mesh(vol: TSDFVolume, min_weight: float = 1.0):
     """Marching-tetrahedra isosurface of the fused TSDF at level 0.
 
+    Only fully observed cubes are meshed (Open3D ScalableTSDFVolume
+    semantics) — unobserved voxels read +1, which would otherwise close a
+    phantom shell at the back of every truncation band.
+
     Returns (vertices (V,3), faces (F,3), colors (V,3))."""
-    from dnsplatter_tpu.mesh.marching import marching_tetrahedra
+    from dnsplatter_tpu.mesh.marching import (
+        filter_faces_to_observed, marching_tetrahedra,
+    )
 
     nx, ny, nz = vol.dims
     field = np.asarray(vol.tsdf).reshape(nx, ny, nz)
     wgt = np.asarray(vol.weight).reshape(nx, ny, nz)
+    observed = wgt >= min_weight
     # unobserved voxels -> +1 (outside); low-weight voxels neutralized
-    field = np.where(wgt >= min_weight, field, 1.0)
+    field = np.where(observed, field, 1.0)
     verts, faces = marching_tetrahedra(field, level=0.0)
+    verts, faces, _ = filter_faces_to_observed(verts, faces, observed)
     cols = None
     if len(verts):
         cvol = np.asarray(vol.color).reshape(nx, ny, nz, 3)

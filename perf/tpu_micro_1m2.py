@@ -1,4 +1,4 @@
-"""Sort-cost vs payload rows at 1.44M / 5.24M, DCE-proof (ALL rows consumed)."""
+"""Sort-cost vs payload rows at 5.24M + unsort strategies at 1M (DCE-proof)."""
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
@@ -30,26 +30,27 @@ def rep(body):
         return out
     return outer
 
-for C in (1_441_792, 5_242_880):
-    key = jax.random.PRNGKey(0)
-    rows = jax.random.randint(key, (18, C), 0, 1 << 22)
-    for nr in (1, 4, 8, 16):
-        def body(s, rows=rows, nr=nr):
-            k = rows[0] + (0 * s).astype(jnp.int32)
-            out = jax.lax.sort((k,) + tuple(rows[1 + i] for i in range(nr)),
-                               num_keys=1)
-            return sum(o[::9973].sum() for o in out).astype(jnp.float32)
-        timed(f"C={C} sort key+{nr}", rep(body))
+C = 5_242_880
+key = jax.random.PRNGKey(0)
+rows = np.asarray(jax.random.randint(key, (18, C), 0, 1 << 22))
+for nr in (1, 4, 8, 16):
+    def body(s, rows, nr=nr):
+        k = rows[0] + (0 * s).astype(jnp.int32)
+        out = jax.lax.sort((k,) + tuple(rows[1 + i] for i in range(nr)),
+                           num_keys=1)
+        return sum(o[::9973].sum() for o in out).astype(jnp.float32)
+    timed(f"C={C} sort key+{nr}", rep(body), jnp.asarray(rows[:nr + 1]))
 
-# unsort at N=1M: scatter vs sort-ride, all 15 rows consumed
 N = 1_000_000
-key = jax.random.PRNGKey(1)
-order = jnp.argsort(jax.random.uniform(key, (N,)))
-grads15 = jax.random.normal(key, (N, 15))
-timed("unsort scatter n15", rep(lambda s: jnp.zeros_like(grads15).at[order].set(
-    grads15 + s * 1e-9)[::9973].sum()))
-def sortride(s):
+k1 = jax.random.PRNGKey(1)
+order = jnp.argsort(jax.random.uniform(k1, (N,)))
+grads15 = jax.random.normal(k1, (N, 15))
+def scatter_unsort(s, order, grads15):
+    return jnp.zeros_like(grads15).at[order].set(
+        grads15 + s * 1e-9)[::9973].sum()
+timed("unsort scatter n15", rep(scatter_unsort), order, grads15)
+def sortride(s, order, grads15):
     out = jax.lax.sort((order + (0 * s).astype(jnp.int32),)
                        + tuple(grads15[:, i] for i in range(15)), num_keys=1)
     return sum(o[::9973].sum() for o in out[1:]).astype(jnp.float32)
-timed("unsort sortride n15", rep(sortride))
+timed("unsort sortride n15", rep(sortride), order, grads15)

@@ -151,6 +151,10 @@ def cmd_export(argv):
     p.add_argument("--output-dir", type=Path, default=Path("exports"))
     p.add_argument("--voxel-size", type=float, default=0.01)
     p.add_argument("--resolution", type=int, default=256)
+    # Poisson grid for dn/gaussians (reference: Open3D depth 9 ~ 512^3
+    # adaptive, export_mesh.py:294-298). Above 192 the CG solver engages
+    # (f32 dense grid; 384 on a room needs a TPU-class device).
+    p.add_argument("--poisson-resolution", type=int, default=192)
     args = p.parse_args(argv)
 
     from dnsplatter_tpu.mesh import exporters as E
@@ -168,9 +172,11 @@ def cmd_export(argv):
         out = E.export_tsdf(params, alive, data, args.output_dir, model_cfg,
                             cfg)
     elif args.mode == "dn":
-        out = E.export_dn(params, alive, data, args.output_dir, model_cfg)
+        out = E.export_dn(params, alive, data, args.output_dir, model_cfg,
+                          poisson_resolution=args.poisson_resolution)
     elif args.mode == "gaussians":
-        out = E.export_gaussians(params, alive, data, args.output_dir)
+        out = E.export_gaussians(params, alive, data, args.output_dir,
+                                 poisson_resolution=args.poisson_resolution)
     elif args.mode == "sugar-coarse":
         out = E.export_sugar_coarse(params, alive, data, args.output_dir,
                                     model_cfg)

@@ -189,10 +189,20 @@ def export_tsdf(params, alive, data, output_dir: Path,
             simplify_quadric_decimation,
         )
 
+        verts_pre, cols_pre = verts, cols
         verts, faces = simplify_quadric_decimation(
             verts, faces, cfg.target_triangles
         )
-        cols = None  # decimation re-positions vertices
+        if cols_pre is not None and len(verts_pre):
+            # decimation re-positions vertices: re-sample colors from the
+            # nearest pre-decimation vertex (the reference keeps Open3D's
+            # interpolated attributes, export_mesh.py:917-919)
+            from scipy.spatial import cKDTree
+
+            _, nn = cKDTree(verts_pre).query(verts, k=1, workers=-1)
+            cols = cols_pre[nn]
+        else:
+            cols = None
     out_path = output_dir / "TSDFfusion_mesh.ply"
     io.write_ply(out_path, verts, colors=cols, faces=faces)
     return out_path
@@ -229,7 +239,10 @@ def export_dn(params, alive, data, output_dir: Path,
         ok = (acc > 0.5) & ~edges.reshape(-1) & (depth.reshape(-1) > 0)
         idx = np.where(ok)[0]
         if len(idx) > per_frame:
-            idx = idx[:: max(1, len(idx) // per_frame)]
+            # uniform random subsample (the reference random-chooses its
+            # total_points budget; a stride alias-patterns the cloud)
+            rng = np.random.default_rng(len(pts_all))
+            idx = rng.choice(idx, per_frame, replace=False)
         pts_all.append(pts[idx])
         nrm_all.append(n_world[idx])
         col_all.append(cols[idx])
@@ -241,7 +254,8 @@ def export_dn(params, alive, data, output_dir: Path,
     # Poisson mesh from the oriented cloud (Open3D's role in the
     # reference; here the FFT solver in mesh/poisson.py).
     from dnsplatter_tpu.mesh.poisson import (
-        PoissonConfig, poisson_reconstruct, trim_mesh_to_points,
+        PoissonConfig, density_quantile_cull, poisson_reconstruct,
+        trim_mesh_to_points,
     )
 
     verts, faces = poisson_reconstruct(
@@ -249,6 +263,8 @@ def export_dn(params, alive, data, output_dir: Path,
     )
     extent = float(np.linalg.norm(pts.max(0) - pts.min(0)))
     verts, faces = trim_mesh_to_points(verts, faces, pts, 0.02 * extent)
+    # reference's density-quantile vertex cull (export_mesh.py:486-508)
+    verts, faces = density_quantile_cull(verts, faces, pts, quantile=0.1)
     mesh_path = output_dir / "DepthAndNormals_poisson_mesh.ply"
     io.write_ply(mesh_path, verts, faces=faces)
     if also_tsdf:

@@ -235,3 +235,25 @@ def test_render_mesh_attributes_interpolates_normals():
     # OpenCV pixel coords)
     col = depth[:, w // 2]
     assert col[5] != col[-5]
+
+
+def test_poisson_cg_solver_matches_fft():
+    """The large-grid CG solver (used above 192^3, where the complex64
+    FFT footprint is prohibitive) reconstructs the same surface as the
+    spectral solve at matched resolution."""
+    from dnsplatter_tpu.mesh.poisson import PoissonConfig, poisson_reconstruct
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts, nrm = v.astype(np.float32), v.astype(np.float32)
+    vf, ff = poisson_reconstruct(pts, nrm,
+                                 PoissonConfig(resolution=64, solver="fft"))
+    vc, fc = poisson_reconstruct(pts, nrm,
+                                 PoissonConfig(resolution=64, solver="cg"))
+    rf = np.linalg.norm(vf, axis=1)
+    rc = np.linalg.norm(vc, axis=1)
+    assert abs(rf.mean() - 1.0) < 0.02
+    np.testing.assert_allclose(rc.mean(), rf.mean(), atol=2e-3)
+    np.testing.assert_allclose(rc.std(), rf.std(), atol=2e-3)

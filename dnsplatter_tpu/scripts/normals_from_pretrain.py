@@ -5,14 +5,20 @@ Parity: dn_splatter/scripts/normals_from_pretrain.py — Omnidata DPT-hybrid
 pngs in the omnidata convention the dataparsers expect, plus the DSINE
 path (:104-148) and the HD patch-merge variant (:238-285).
 
-The DSINE backend (`--model-type dsine`) runs the JAX port in
-dnsplatter_tpu/priors/ (encoder+decoder+NRN, oracle-tested against the
-reference torch modules) from an npz produced by
-`python -m dnsplatter_tpu.priors.convert dsine.pt dsine.npz` — no torch
-needed at inference. With no egress the checkpoints must be supplied
-locally. The weight-free alternative lives in
-scripts/normals_from_depth.py (`normals_from_depths`, reference
-:412-505).
+Both backends run torch-free JAX ports from converted npz weights:
+
+  * omnidata (the reference default): `--ckpt omnidata.npz` produced by
+    `python -m dnsplatter_tpu.priors.convert --dpt
+    omnidata_dpt_normal_v2.ckpt omnidata.npz` runs the native DPT-Hybrid
+    (priors/dpt.py, oracle-tested against transformers' torch DPT). A
+    `.ckpt`/`.pt` path falls back to the torch omnidata-tools wrapper
+    for environments that have it.
+  * dsine: priors/dsine.py (encoder+decoder+NRN, oracle-tested) from
+    `python -m dnsplatter_tpu.priors.convert dsine.pt dsine.npz`.
+
+With no egress the checkpoints must be supplied locally. The weight-free
+alternative lives in scripts/normals_from_depth.py
+(`normals_from_depths`, reference :412-505).
 """
 
 from __future__ import annotations
@@ -21,6 +27,47 @@ import argparse
 from pathlib import Path
 
 import numpy as np
+
+
+def load_omnidata_predictor(ckpt_path: Path, resolution: int = 384):
+    """Omnidata normal predictor: (R, R, 3) rgb in [0, 1] -> (R, R, 3)
+    in [0, 1] (clamped raw model output, reference
+    normals_from_pretrain.py:205-211). An `.npz` path runs the native
+    JAX DPT-Hybrid (priors/dpt.py); a torch checkpoint falls back to
+    the omnidata-tools wrapper."""
+    if Path(ckpt_path).suffix == ".npz":
+        import jax
+
+        from dnsplatter_tpu.priors.dpt import DPTHybridConfig, run_normals
+
+        if not Path(ckpt_path).exists():
+            raise SystemExit(
+                f"Converted omnidata npz not found at {ckpt_path}. Produce "
+                "it offline with: python -m dnsplatter_tpu.priors.convert "
+                "--dpt omnidata_dpt_normal_v2.ckpt omnidata.npz"
+            )
+        loaded = dict(np.load(ckpt_path))
+        params = {k: jax.numpy.asarray(v) for k, v in loaded.items()}
+        cfg = DPTHybridConfig(out_channels=3)
+        fwd = jax.jit(lambda img: run_normals(params, img, cfg))
+
+        def predict(rgb01: np.ndarray) -> np.ndarray:
+            return np.asarray(fwd(rgb01.astype(np.float32)))
+
+        return predict
+
+    model = load_omnidata(ckpt_path)
+    import torch
+
+    def predict(rgb01: np.ndarray) -> np.ndarray:
+        with torch.no_grad():
+            t = torch.from_numpy(
+                np.transpose(rgb01, (2, 0, 1)).astype(np.float32)
+            )[None]
+            n01 = model(t).squeeze(0).cpu().numpy()  # (3, R, R) in [0,1]
+        return np.transpose(n01, (1, 2, 0))
+
+    return predict
 
 
 def load_omnidata(ckpt_path: Path):
@@ -56,11 +103,9 @@ def load_omnidata(ckpt_path: Path):
 
 def run_monocular_normals(image_dir: Path, out_dir: Path,
                           ckpt_path: Path, resolution: int = 384) -> int:
-    import torch
-
     from dnsplatter_tpu.data import io
 
-    model = load_omnidata(ckpt_path)
+    predict = load_omnidata_predictor(ckpt_path, resolution)
     out_dir.mkdir(parents=True, exist_ok=True)
     images = sorted(
         p for p in image_dir.glob("*") if p.suffix.lower() in (".png", ".jpg", ".jpeg")
@@ -69,12 +114,7 @@ def run_monocular_normals(image_dir: Path, out_dir: Path,
         img = io.read_image(img_path)
         h, w = img.shape[:2]
         small = io.resize_image(img, resolution, resolution)
-        with torch.no_grad():
-            t = torch.from_numpy(
-                np.transpose(small, (2, 0, 1)).astype(np.float32)
-            )[None]
-            normal = model(t).squeeze(0).cpu().numpy()  # (3, R, R) in [0,1]
-        normal = np.transpose(normal, (1, 2, 0))
+        normal = predict(small)  # (R, R, 3) in [0, 1]
         normal = io.resize_image(normal, h, w)
         io.write_image(out_dir / f"{img_path.stem}.png",
                        np.clip(normal, 0, 1))
@@ -85,20 +125,13 @@ def run_monocular_normals_hd(image_dir: Path, out_dir: Path,
                              ckpt_path: Path, patch: int = 384) -> int:
     """HD variant (reference :238-285): overlapping-patch inference +
     Kabsch-aligned merge (scripts/normals_hd.py)."""
-    import torch
-
     from dnsplatter_tpu.data import io
     from dnsplatter_tpu.scripts.normals_hd import predict_normals_hd
 
-    model = load_omnidata(ckpt_path)
+    predict = load_omnidata_predictor(ckpt_path, patch)
 
     def predictor(rgb: np.ndarray) -> np.ndarray:
-        with torch.no_grad():
-            t = torch.from_numpy(
-                np.transpose(rgb, (2, 0, 1)).astype(np.float32)
-            )[None]
-            n01 = model(t).squeeze(0).cpu().numpy()  # (3, H, W) in [0, 1]
-        return np.transpose(n01, (1, 2, 0)) * 2.0 - 1.0
+        return predict(rgb) * 2.0 - 1.0
 
     out_dir.mkdir(parents=True, exist_ok=True)
     images = sorted(

@@ -179,6 +179,8 @@ def bin_gaussians(
     validf: jax.Array,
     conics: jax.Array | None = None,
     opacities: jax.Array | None = None,
+    order: jax.Array | None = None,
+    fields_sorted: jax.Array | None = None,
 ) -> _Binned:
     """Global depth sort + dense CSR tile pair list in ONE sort.
 
@@ -195,6 +197,12 @@ def bin_gaussians(
          Dead lanes (pos >= total) carry the sentinel key and land past
          starts[-1]; a sentinel `chunk` tail is appended post-sort for
          kernel DMA overrun room.
+
+    `order` + `fields_sorted` (the pallas payload table, already
+    depth-sorted, with radii_x/radii_y/validf in rows 13..15 — see
+    _raster_fwd) skip the internal per-array gathers: N-row gathers cost
+    ~7 ms each at N=1M, so the caller gathers ONCE and both binning and
+    the pair-payload build slice the same table.
     """
     n = means2d.shape[0]
     ts = cfg.tile_size
@@ -207,12 +215,18 @@ def bin_gaussians(
     t_pad = cfg.n_tiles_padded
     valid = validf > 0.5
 
-    order = jnp.argsort(jnp.where(valid, depths, jnp.inf))
-    m2d_s = means2d[order]
-    rad_s = radii[order]  # (N, 2) per-axis extents (or broadcast scalar)
-    if rad_s.ndim == 1:
-        rad_s = rad_s[:, None] * jnp.ones((1, 2), rad_s.dtype)
-    valid_s = valid[order]
+    if order is None:
+        order = jnp.argsort(jnp.where(valid, depths, jnp.inf))
+    if fields_sorted is not None:
+        m2d_s = fields_sorted[:, 0:2]
+        rad_s = fields_sorted[:, 13:15]
+        valid_s = fields_sorted[:, 15] > 0.5
+    else:
+        m2d_s = means2d[order]
+        rad_s = radii[order]  # (N, 2) per-axis extents (or broadcast)
+        if rad_s.ndim == 1:
+            rad_s = rad_s[:, None] * jnp.ones((1, 2), rad_s.dtype)
+        valid_s = valid[order]
 
     x0 = jnp.clip(
         jnp.floor((m2d_s[:, 0] - rad_s[:, 0]) / ts).astype(jnp.int32),
@@ -323,8 +337,12 @@ def bin_gaussians(
         if cull:
             # One combined f32 expansion: 4 int rows (exact in f32 below
             # 2^24) + 6 geometry rows for the exact ellipse-tile test.
-            con_s = conics[order]
-            op_s = jnp.where(valid_s, opacities[order], 0.0)
+            if fields_sorted is not None:
+                con_s = fields_sorted[:, 2:5]
+                op_s = fields_sorted[:, 5]  # already validity-masked
+            else:
+                con_s = conics[order]
+                op_s = jnp.where(valid_s, opacities[order], 0.0)
             thr = jnp.log(jnp.maximum(op_s, 1e-12) * 255.0)
             allvals = jnp.concatenate([
                 vals.astype(jnp.float32),
@@ -626,13 +644,35 @@ def _rasterize_core(cfg, means2d, conics, opacities, features, absgrad_sink,
 def _raster_fwd(cfg, means2d, conics, opacities, features, absgrad_sink,
                 depths, radii, validf):
     del absgrad_sink
+    if cfg.backend == "pallas" and features.shape[-1] <= 7:
+        # ONE depth-order row gather serves BOTH binning and the pair
+        # payload: the (N, 16) table carries the kernel payload in rows
+        # 0..12 and the binning geometry (radii_x, radii_y, validf) in
+        # rows 13..15 (the kernels never read past 6 + F; per-row access
+        # cost dominates N-scale gathers — ~7 ms per separate gather at
+        # N=1M, perf/tpu_micro_1m.py).
+        from dnsplatter_tpu.ops import rasterize_pallas as rp
+
+        n = means2d.shape[0]
+        f = features.shape[-1]
+        rad2 = radii if radii.ndim == 2 else jnp.stack([radii, radii], -1)
+        opac_masked = jnp.where(validf > 0.5, opacities, 0.0)
+        fields = jnp.concatenate(
+            [means2d, conics, opac_masked[:, None], features,
+             jnp.zeros((n, 13 - 6 - f), jnp.float32),
+             rad2, validf[:, None]],
+            axis=-1,
+        )
+        order = jnp.argsort(jnp.where(validf > 0.5, depths, jnp.inf))
+        fields_s = fields[order]
+        binned = bin_gaussians(cfg, means2d, depths, radii, validf,
+                               conics=conics, opacities=opacities,
+                               order=order, fields_sorted=fields_s)
+        return _raster_fwd_pallas(cfg, binned, fields_s, f, n)
     binned = bin_gaussians(cfg, means2d, depths, radii, validf,
                            conics=conics, opacities=opacities)
     if cfg.backend == "pallas":
-        # ONE depth-order row gather of the concatenated per-Gaussian
-        # field table (vs 4 separate N-row gathers): per-row access cost
-        # dominates N-scale gathers, so fusing them matters (~1-2 ms
-        # each at N=100k on TPU).
+        # large-F fallback: separate gathers (radii/valid rows don't fit)
         from dnsplatter_tpu.ops import rasterize_pallas as rp
 
         n = means2d.shape[0]
@@ -939,10 +979,19 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
             [ps[:, :6 + f], ps[:, rp.GW - 2:rp.GW]], axis=-1
         )  # (N, 8 + F)
 
-    # Un-permute from depth-sorted back to original Gaussian order with
-    # ONE N-row scatter of the concatenated gradient block (five separate
-    # scatters cost ~1-2 ms each at N=100k on TPU).
-    out = jnp.zeros_like(per_sorted).at[binned.order].set(per_sorted)
+    # Un-permute from depth-sorted back to original Gaussian order by
+    # RIDING A SORT on the permutation key: out[j] = per_sorted[i] where
+    # order[i] = j, i.e. sort the gradient rows by `order` ascending —
+    # identical to the scatter `zeros.at[order].set(per_sorted)` but
+    # 8.9 ms vs 85 ms at N=1M (random-permutation row scatters hit the
+    # ~20-25 ns/row wall; XLA's variadic sort streams,
+    # perf/tpu_micro_1m2.py).
+    sorted_cols = jax.lax.sort(
+        (binned.order,)
+        + tuple(per_sorted[:, i] for i in range(per_sorted.shape[1])),
+        num_keys=1,
+    )
+    out = jnp.stack(sorted_cols[1:], axis=1)
 
     return (
         out[:, 0:2],

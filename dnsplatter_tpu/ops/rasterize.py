@@ -101,13 +101,17 @@ class RasterizeConfig(NamedTuple):
     #   "packed"  — ONE int32 key `tile * (N+1) + gauss`; the sorted keys
     #               decode to per-pair gaussian indices (1 key + 1
     #               payload row). Requires (T_pad+1)*(N+1) < 2^31.
+    #   "packed32" — the same single-key sort in uint32: the extra bit
+    #               doubles the ceiling to (T_pad+1)*(N+1) <= 2^32,
+    #               which covers N <= 1.86M at the bench tiling.
     #   "tilekey" — STABLE sort on `tile*2 + cullbit` with the gaussian
     #               index riding as payload (1 key + 2 payload rows,
     #               ~1 extra sort row of cost). Within a tile the
     #               pre-sort pair order IS ascending-gaussian (= depth)
     #               order, so stability reproduces the packed layout
     #               exactly — no integer ceiling, any N.
-    #   "auto"    — packed when it fits in int32, else tilekey.
+    #   "auto"    — packed when it fits in int32, else packed32 when it
+    #               fits in uint32, else tilekey.
     sort_scheme: str = "auto"
 
     @property
@@ -420,9 +424,12 @@ def bin_gaussians(
     qv = jnp.where(live, q_spatial, c)
     scheme = cfg.sort_scheme
     if scheme == "auto":
-        scheme = ("packed"
-                  if (t_pad + 1) * big <= jnp.iinfo(jnp.int32).max
-                  else "tilekey")
+        if (t_pad + 1) * big <= jnp.iinfo(jnp.int32).max:
+            scheme = "packed"
+        elif (t_pad + 1) * big <= jnp.iinfo(jnp.uint32).max:
+            scheme = "packed32"
+        else:
+            scheme = "tilekey"
     if scheme == "packed":
         assert (t_pad + 1) * big <= jnp.iinfo(jnp.int32).max, (
             "packed sort key overflows int32 at this (tiles, N); use "
@@ -443,6 +450,39 @@ def bin_gaussians(
         pair_gauss = (keys % big).astype(jnp.int32)
         if cull:
             bounds = jnp.arange(t_pad, dtype=jnp.int32) * big + n
+            surv_end = jnp.searchsorted(
+                keys, bounds, side="left"
+            ).astype(jnp.int32)
+            tile_counts = surv_end - starts[:-1]
+    elif scheme == "packed32":
+        # Same packed single-key sort in UNSIGNED 32-bit: one extra bit
+        # doubles the (tiles+1)*(N+1) ceiling to 2^32, covering the
+        # reference-default N=1M at the bench tiling (2305 * (N+1) <=
+        # 2^32 -> N <= 1.86M). One unstable 2-column sort vs tilekey's
+        # stable 3-column sort: ~9 ms/frame cheaper at 5.24M pairs.
+        assert (t_pad + 1) * big <= jnp.iinfo(jnp.uint32).max, (
+            "packed32 sort key overflows uint32 at this (tiles, N); use "
+            "sort_scheme='tilekey'"
+        )
+        bigu = jnp.uint32(big)
+        sentinel = jnp.uint32(t_pad) * bigu + jnp.uint32(n)
+        key_real = jnp.where(
+            live,
+            tile_id.astype(jnp.uint32) * bigu
+            + pair_gauss0.astype(jnp.uint32),
+            sentinel,
+        )
+        if cull:
+            key_real = jnp.where(
+                live & ~survive,
+                tile_id.astype(jnp.uint32) * bigu + jnp.uint32(n),
+                key_real,
+            )
+        keys, pair_pos = jax.lax.sort((key_real, qv), num_keys=1)
+        pair_gauss = (keys % bigu).astype(jnp.int32)
+        if cull:
+            bounds = (jnp.arange(t_pad, dtype=jnp.uint32) * bigu
+                      + jnp.uint32(n))
             surv_end = jnp.searchsorted(
                 keys, bounds, side="left"
             ).astype(jnp.int32)

@@ -309,15 +309,17 @@ def test_tilekey_sort_layout_identical_to_packed():
                     proj.means2d, proj.depths, proj.radii_xy, validf,
                     conics=proj.conics, opacities=opac,
                 )
-                for s in ("packed", "tilekey")
+                for s in ("packed", "packed32", "tilekey")
             ]
             for field in ("order", "pair_gauss", "pair_pos", "starts",
                           "counts", "gauss_starts"):
-                np.testing.assert_array_equal(
-                    np.asarray(getattr(outs[0], field)),
-                    np.asarray(getattr(outs[1], field)),
-                    err_msg=f"{backend} cull={cull} field={field}",
-                )
+                for alt in (1, 2):
+                    np.testing.assert_array_equal(
+                        np.asarray(getattr(outs[0], field)),
+                        np.asarray(getattr(outs[alt], field)),
+                        err_msg=f"{backend} cull={cull} field={field} "
+                                f"scheme_idx={alt}",
+                    )
 
 
 def test_expand_segments_streaming_matches_resident():

@@ -4,6 +4,7 @@ Usage:
     python -m dnsplatter_tpu.priors.convert dsine.pt dsine.npz
     python -m dnsplatter_tpu.priors.convert --dpt \
         omnidata_dpt_normal_v2.ckpt omnidata.npz
+    python -m dnsplatter_tpu.priors.convert --zoe ZoeD_M12_N.pt zoe.npz
 
 The reference downloads `dsine.pt` (dn_splatter/scripts/dsine/
 dsine_predictor.py:53-66, huggingface camenduru/DSINE) and loads it into
@@ -45,11 +46,13 @@ def convert_checkpoint(pt_path: str, npz_path: str) -> int:
 
 def main(argv=None) -> None:
     argv = sys.argv[1:] if argv is None else argv
-    if argv and argv[0] == "--dpt":
+    if argv and argv[0] in ("--dpt", "--zoe"):
         if len(argv) != 3:
             print(__doc__)
             raise SystemExit(2)
-        n = convert_dpt_checkpoint(argv[1], argv[2])
+        convert = (convert_dpt_checkpoint if argv[0] == "--dpt"
+                   else convert_zoedepth_checkpoint)
+        n = convert(argv[1], argv[2])
         print(f"wrote {argv[2]}: {n} tensors")
         return
     if len(argv) != 2:
@@ -189,5 +192,158 @@ def convert_dpt_checkpoint(pt_path: str, npz_path: str) -> int:
     state = {(k[6:] if k.startswith("model.") else k): v
              for k, v in state.items()}
     arrays = convert_dpt_state_dict(state)
+    np.savez_compressed(npz_path, **arrays)
+    return len(arrays)
+
+
+# --------------------------------------------------------------------------
+# ZoeDepth-NYU (isl-org ZoeD_N torch.hub checkpoint) conversion
+# --------------------------------------------------------------------------
+
+def _islorg_to_hf_key(k: str):
+    """Map one isl-org/ZoeDepth (ZoeD_N) state-dict key to the
+    HF-transformers naming priors/zoedepth.py consumes. Returns None
+    for buffers/keys the JAX graph does not use; fused 'QKV' weights
+    are handled by the caller (they split into three)."""
+    import re
+
+    if k == "core.core.pretrained.model.cls_token":
+        return "backbone.embeddings.cls_token"
+    m = re.match(r"core\.core\.pretrained\.model\.patch_embed\.proj\.(.+)", k)
+    if m:
+        return ("backbone.embeddings.patch_embeddings.projection."
+                + m.group(1))
+    m = re.match(r"core\.core\.pretrained\.model\.blocks\.(\d+)\.(.+)", k)
+    if m:
+        i, rest = m.group(1), m.group(2)
+        pre = f"backbone.encoder.layer.{i}"
+        table = {
+            "norm1.weight": "layernorm_before.weight",
+            "norm1.bias": "layernorm_before.bias",
+            "norm2.weight": "layernorm_after.weight",
+            "norm2.bias": "layernorm_after.bias",
+            "attn.proj.weight": "attention.output.dense.weight",
+            "attn.proj.bias": "attention.output.dense.bias",
+            "mlp.fc1.weight": "intermediate.dense.weight",
+            "mlp.fc1.bias": "intermediate.dense.bias",
+            "mlp.fc2.weight": "output.dense.weight",
+            "mlp.fc2.bias": "output.dense.bias",
+            "gamma_1": "lambda_1",
+            "gamma_2": "lambda_2",
+            "attn.relative_position_bias_table":
+                "attention.attention.relative_position_bias."
+                "relative_position_bias_table",
+            "attn.q_bias": "attention.attention.query.bias",
+            "attn.v_bias": "attention.attention.value.bias",
+        }
+        if rest in table:
+            return f"{pre}.{table[rest]}"
+        if rest == "attn.qkv.weight":
+            return ("QKV", i)
+        return None  # relative_position_index / k_bias buffers
+    m = re.match(
+        r"core\.core\.pretrained\.act_postprocess(\d)"
+        r"\.(\d+)(?:\.project\.0)?\.(weight|bias)", k)
+    if m:
+        stage = int(m.group(1)) - 1
+        sub = int(m.group(2))
+        leaf = m.group(3)
+        if sub == 0:
+            return f"neck.reassemble_stage.readout_projects.{stage}.0.{leaf}"
+        if sub == 3:
+            return f"neck.reassemble_stage.layers.{stage}.projection.{leaf}"
+        if sub == 4:
+            return f"neck.reassemble_stage.layers.{stage}.resize.{leaf}"
+        return None
+    m = re.match(r"core\.core\.scratch\.layer(\d)_rn\.weight", k)
+    if m:
+        return f"neck.convs.{int(m.group(1)) - 1}.weight"
+    m = re.match(r"core\.core\.scratch\.refinenet(\d)\.(.+)", k)
+    if m:
+        layer = 4 - int(m.group(1))
+        rest = m.group(2)
+        rest = rest.replace("out_conv", "projection")
+        rest = rest.replace("resConfUnit1", "residual_layer1")
+        rest = rest.replace("resConfUnit2", "residual_layer2")
+        rest = rest.replace("conv1", "convolution1").replace(
+            "conv2", "convolution2")
+        return f"neck.fusion_stage.layers.{layer}.{rest}"
+    m = re.match(r"core\.core\.scratch\.output_conv\.(\d+)\.(weight|bias)", k)
+    if m:
+        return f"relative_head.conv{int(m.group(1)) // 2 + 1}.{m.group(2)}"
+    m = re.match(r"conv2\.(weight|bias)", k)
+    if m:
+        return f"metric_head.conv2.{m.group(1)}"
+    m = re.match(
+        r"(seed_bin_regressor|seed_projector)\._net\.(\d)\.(weight|bias)", k)
+    if m:
+        return (f"metric_head.{m.group(1)}.conv{int(m.group(2)) // 2 + 1}"
+                f".{m.group(3)}")
+    m = re.match(
+        r"(projectors|attractors)\.(\d)\._net\.(\d)\.(weight|bias)", k)
+    if m:
+        return (f"metric_head.{m.group(1)}.{m.group(2)}"
+                f".conv{int(m.group(3)) // 2 + 1}.{m.group(4)}")
+    m = re.match(
+        r"conditional_log_binomial\.mlp\.(\d)\.(weight|bias)", k)
+    if m:
+        return f"metric_head.conditional_log_binomial.mlp.{m.group(1)}.{m.group(2)}"
+    return None
+
+
+def convert_zoedepth_state_dict(state_dict) -> dict:
+    """isl-org ZoeD_N (or HF transformers ZoeDepth) state dict -> flat
+    HF-named float32 arrays for priors/zoedepth.py. timm's fused qkv
+    weight splits into query/key/value thirds (key carries no bias)."""
+    import numpy as np
+
+    arrays = convert_state_dict(state_dict)
+    if any(k.startswith(("backbone.", "neck.", "metric_head."))
+           for k in arrays):
+        return {k: v for k, v in arrays.items()
+                if not k.endswith("relative_position_index")}
+    out = {}
+    for k, v in arrays.items():
+        tgt = _islorg_to_hf_key(k)
+        if tgt is None:
+            continue
+        if isinstance(tgt, tuple):  # fused qkv weight
+            _, i = tgt
+            q, kk, vv = np.split(v, 3, axis=0)
+            pre = f"backbone.encoder.layer.{i}.attention.attention"
+            out[f"{pre}.query.weight"] = q
+            out[f"{pre}.key.weight"] = kk
+            out[f"{pre}.value.weight"] = vv
+        else:
+            out[tgt] = v
+    # loud completeness check: a naming drift must not silently produce
+    # a truncated network
+    required = ["backbone.embeddings.cls_token",
+                "backbone.encoder.layer.0.attention.attention.query.weight",
+                "neck.convs.0.weight",
+                "neck.fusion_stage.layers.3.projection.weight",
+                "relative_head.conv3.weight",
+                "metric_head.conv2.weight",
+                "metric_head.seed_bin_regressor.conv1.weight",
+                "metric_head.attractors.3.conv2.weight",
+                "metric_head.conditional_log_binomial.mlp.2.weight"]
+    missing = [r for r in required if r not in out]
+    if missing:
+        raise ValueError(f"ZoeDepth conversion incomplete; missing {missing}"
+                         " — checkpoint naming not recognized")
+    return out
+
+
+def convert_zoedepth_checkpoint(pt_path: str, npz_path: str) -> int:
+    """CLI: python -m dnsplatter_tpu.priors.convert --zoe ZoeD_M12_N.pt
+    out.npz (the torch.hub 'isl-org/ZoeDepth' ZoeD_N weights the
+    reference loads, depth_from_pretrain.py:155-156)."""
+    import torch  # offline tool only
+
+    ckpt = torch.load(pt_path, map_location="cpu", weights_only=False)
+    state = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    arrays = convert_zoedepth_state_dict(state)
     np.savez_compressed(npz_path, **arrays)
     return len(arrays)

@@ -30,11 +30,11 @@ from dnsplatter_tpu.train.optim import OptimConfig
 from dnsplatter_tpu.train.trainer import TrainConfig, Trainer
 
 
-def _load_dataset(name: str, data: Path, split: str):
+def _parser_config_cls(name: str):
+    """The dataparser's sibling *ParserConfig dataclass (or None)."""
     from dnsplatter_tpu.data.parsers import get_parser
 
     parse = get_parser(name)
-    # Each parser has a sibling *ParserConfig dataclass as first arg default.
     import inspect
 
     # deterministic config discovery: prefer the parse function's own
@@ -42,22 +42,40 @@ def _load_dataset(name: str, data: Path, split: str):
     # DEFINED in that module (module filter: imported sibling configs
     # must not win on dict order)
     sig = inspect.signature(parse)
-    cfg_cls = None
     first = next(iter(sig.parameters.values()), None)
     if first is not None and dataclasses.is_dataclass(first.annotation):
-        cfg_cls = first.annotation
-    if cfg_cls is None:
-        mod = sys.modules[parse.__module__]
-        for obj in vars(mod).values():
-            if (
-                isinstance(obj, type)
-                and dataclasses.is_dataclass(obj)
-                and obj.__name__.endswith("ParserConfig")
-                and obj.__module__ == parse.__module__
-            ):
-                cfg_cls = obj
-                break
-    cfg = cfg_cls(data=data) if cfg_cls else None
+        return parse, first.annotation
+    mod = sys.modules[parse.__module__]
+    for obj in vars(mod).values():
+        if (
+            isinstance(obj, type)
+            and dataclasses.is_dataclass(obj)
+            and obj.__name__.endswith("ParserConfig")
+            and obj.__module__ == parse.__module__
+        ):
+            return parse, obj
+    return parse, None
+
+
+def _add_parser_args(p, argv):
+    """Two-stage parse: resolve the dataparser from argv, then expose its
+    config fields as `--parser.x` flags (the reference exposes dataparser
+    flags through nerfstudio's CLI the same way). Returns the config
+    class (or None)."""
+    pre, _ = p.parse_known_args(argv)
+    try:
+        _, cfg_cls = _parser_config_cls(pre.dataparser)
+    except Exception:
+        return None
+    if cfg_cls is not None:
+        add_dataclass_args(p, cfg_cls, "parser")
+    return cfg_cls
+
+
+def _load_dataset(name: str, data: Path, split: str, cfg=None):
+    parse, cfg_cls = _parser_config_cls(name)
+    if cfg is None:
+        cfg = cfg_cls(data=data) if cfg_cls else None
     return parse(cfg, split)
 
 
@@ -77,6 +95,7 @@ def cmd_train(argv):
     add_dataclass_args(p, ModelConfig, "model")
     add_dataclass_args(p, TrainConfig, "train")
     add_dataclass_args(p, OptimConfig, "optim")
+    parser_cls = _add_parser_args(p, argv)
     args = p.parse_args(argv)
 
     base_model = model_config_for_method(args.method)
@@ -88,7 +107,10 @@ def cmd_train(argv):
             train_cfg, max_iterations=args.max_iterations
         )
 
-    data = _load_dataset(args.dataparser, args.data, "train")
+    parser_cfg = (build_dataclass(parser_cls, args, "parser",
+                                  parser_cls(data=args.data))
+                  if parser_cls else None)
+    data = _load_dataset(args.dataparser, args.data, "train", cfg=parser_cfg)
     trainer = Trainer(
         data=data,
         seed_points=data.seed() if hasattr(data, "seed") else None,
@@ -118,13 +140,20 @@ def cmd_eval(argv):
     p.add_argument("--output-dir", type=Path, default=None)
     p.add_argument("--save-renders", action="store_true")
     p.add_argument("--lpips-weights", type=Path, default=None)
+    p.add_argument("--pair-capacity", type=int, default=1 << 21,
+                   help="intersection-list capacity for eval renders")
+    parser_cls = _add_parser_args(p, argv)
     args = p.parse_args(argv)
 
     from dnsplatter_tpu.eval.evaluator import evaluate
     from dnsplatter_tpu.train.trainer import load_checkpoint_arrays
 
     params, alive, step = load_checkpoint_arrays(args.checkpoint)
-    data = _load_dataset(args.dataparser, args.data, args.split)
+    parser_cfg = (build_dataclass(parser_cls, args, "parser",
+                                  parser_cls(data=args.data))
+                  if parser_cls else None)
+    data = _load_dataset(args.dataparser, args.data, args.split,
+                         cfg=parser_cfg)
     lpips_fn = None
     if args.lpips_weights:
         from dnsplatter_tpu.eval.metrics import lpips_from_npz
@@ -133,6 +162,7 @@ def cmd_eval(argv):
     metrics = evaluate(
         params, alive, data,
         model_cfg=model_config_for_method(args.method),
+        pair_capacity=args.pair_capacity,
         lpips_fn=lpips_fn,
         output_dir=args.output_dir,
         save_renders=args.save_renders,
@@ -155,13 +185,18 @@ def cmd_export(argv):
     # adaptive, export_mesh.py:294-298). Above 192 the CG solver engages
     # (f32 dense grid; 384 on a room needs a TPU-class device).
     p.add_argument("--poisson-resolution", type=int, default=192)
+    parser_cls = _add_parser_args(p, argv)
     args = p.parse_args(argv)
 
     from dnsplatter_tpu.mesh import exporters as E
     from dnsplatter_tpu.train.trainer import load_checkpoint_arrays
 
     params, alive, _ = load_checkpoint_arrays(args.checkpoint)
-    data = _load_dataset(args.dataparser, args.data, "train")
+    parser_cfg = (build_dataclass(parser_cls, args, "parser",
+                                  parser_cls(data=args.data))
+                  if parser_cls else None)
+    data = _load_dataset(args.dataparser, args.data, "train",
+                         cfg=parser_cfg)
     model_cfg = model_config_for_method(args.method)
 
     if args.mode in ("tsdf", "o3dtsdf"):

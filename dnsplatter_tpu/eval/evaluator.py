@@ -35,7 +35,7 @@ def evaluate(
     alive: jax.Array,
     data,
     model_cfg: ModelConfig = ModelConfig(),
-    sh_degree: int = 3,
+    sh_degree: Optional[int] = None,
     pair_capacity: int = 1 << 21,
     lpips_fn=None,
     output_dir: Optional[Path] = None,
@@ -56,6 +56,9 @@ def evaluate(
     the dataset's `icp_*.json` (`icp_json`), or, when neither exists and
     `run_icp_if_missing`, our own point-to-point ICP (eval/icp.py).
     """
+    if sh_degree is None:
+        # infer from the checkpoint: B = (deg+1)^2 bases (features_dc + rest)
+        sh_degree = params.sh_degree
     per_image: List[Dict[str, float]] = []
     render_fns: Dict[tuple, object] = {}
     pcd_pts: List[np.ndarray] = []

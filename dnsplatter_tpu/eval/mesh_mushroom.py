@@ -175,6 +175,7 @@ def evaluate_mesh_mushroom(
     kernel_size: int = 15,
     num_samples: int = 200_000,
     subdivide: bool = True,
+    obs_threshold: int = 3,
 ) -> Dict[str, float]:
     """Full MuSHRoom protocol (eval_mesh_mushroom_vis_cull.py:599-717).
 
@@ -211,8 +212,10 @@ def evaluate_mesh_mushroom(
     if subdivide:
         pred_v, pred_f = MM.subdivide_to_edge_length(pred_v, pred_f, max_edge)
         gt_v, gt_f = MM.subdivide_to_edge_length(gt_v, gt_f, max_edge)
-    pred_v, pred_f = cull_mesh_mushroom(pred_v, pred_f, cameras, gt_depths)
-    gt_v, gt_f = cull_mesh_mushroom(gt_v, gt_f, cameras, gt_depths)
+    pred_v, pred_f = cull_mesh_mushroom(pred_v, pred_f, cameras, gt_depths,
+                                        obs_threshold=obs_threshold)
+    gt_v, gt_f = cull_mesh_mushroom(gt_v, gt_f, cameras, gt_depths,
+                                    obs_threshold=obs_threshold)
     if len(pred_f) == 0 or len(gt_f) == 0:
         return {"acc": float("inf"), "comp": float("inf"),
                 "chamfer_l1": float("inf"), "normal_consistency": 0.0,

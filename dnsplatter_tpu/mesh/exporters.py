@@ -42,6 +42,8 @@ from dnsplatter_tpu.ops.rasterize import RasterizeConfig
 def _render_frames(params, alive, data, model_cfg, sh_degree,
                    pair_capacity=1 << 21):
     """Yield (camera, outputs-dict) over all frames."""
+    if sh_degree is None:
+        sh_degree = params.sh_degree  # infer from the checkpoint
     fns = {}
     for i in range(len(data)):
         cam, _ = data.get(i)
@@ -132,7 +134,7 @@ class _IndexView:
 def export_tsdf(params, alive, data, output_dir: Path,
                 model_cfg: ModelConfig = ModelConfig(),
                 cfg: TSDFExportConfig = TSDFExportConfig(),
-                sh_degree: int = 3,
+                sh_degree: Optional[int] = None,
                 bounds: Optional[Tuple] = None) -> Path:
     """`gs-mesh tsdf` / `gs-mesh o3dtsdf`: fuse rendered RGB-D."""
     output_dir = Path(output_dir)
@@ -210,7 +212,7 @@ def export_tsdf(params, alive, data, output_dir: Path,
 
 def export_dn(params, alive, data, output_dir: Path,
               model_cfg: ModelConfig = ModelConfig(),
-              sh_degree: int = 3,
+              sh_degree: Optional[int] = None,
               edge_threshold: float = 0.01,
               total_points: int = 2_000_000,
               also_tsdf: bool = True,
@@ -326,7 +328,7 @@ def export_gaussians(params, alive, data, output_dir: Path,
 
 def export_sugar_coarse(params, alive, data, output_dir: Path,
                         model_cfg: ModelConfig = ModelConfig(),
-                        sh_degree: int = 3,
+                        sh_degree: Optional[int] = None,
                         surface_levels=(0.1, 0.3, 0.5),
                         frame_stride: int = 4,
                         subsample: int = 8) -> Path:
@@ -391,7 +393,7 @@ def export_sugar_coarse(params, alive, data, output_dir: Path,
 
 def export_isofusion(params, alive, data, output_dir: Path,
                      model_cfg: ModelConfig = ModelConfig(),
-                     sh_degree: int = 3,
+                     sh_degree: Optional[int] = None,
                      voxel_size: float = 0.02,
                      depth_max: float = 5.0,
                      adaptive: bool = True,

@@ -63,6 +63,11 @@ class GaussianParams:
     def sh_bases(self) -> int:
         return self.features_rest.shape[1] + 1
 
+    @property
+    def sh_degree(self) -> int:
+        """Degree implied by the stored bases: B = (deg+1)^2."""
+        return int(round(self.sh_bases ** 0.5)) - 1
+
     def sh_coeffs(self) -> jax.Array:
         """(C, B, 3) concatenated SH coefficients (dn_model.py:466-468)."""
         return jnp.concatenate(

@@ -156,13 +156,19 @@ class _Binned(NamedTuple):
 
     order: jax.Array  # (N,) depth sort permutation: sorted[i] = orig[order[i]]
     pair_gauss: jax.Array  # (C + chunk,) depth-sorted gaussian idx; == N => dead
-    pair_pos: jax.Array  # (C + chunk,) pre-sort pair position; == C => dead slot
+    pair_orig: jax.Array  # (C + chunk,) ORIGINAL gaussian id per CSR slot;
+    #     == N => dead slot. Rides the binning sort so the gradient
+    #     reduction can key on it and emit per-Gaussian sums directly in
+    #     original parameter order — no N-scale un-permute afterwards.
     starts: jax.Array  # (T_padded + 1,) dense range starts per tile
     counts: jax.Array  # (T_padded,) per-tile LIVE pair counts; with exact
     #     culling this is <= diff(starts) — the slots
     #     [starts[t] + counts[t], starts[t+1]) hold culled pairs
     #     (pair_gauss == N, zero payload, exact-zero gradients)
     gauss_starts: jax.Array  # (N + 1,) per-Gaussian pre-sort pair ranges
+    #     (depth-sorted gaussian order — the expand_segments boundaries)
+    orig_starts: jax.Array  # (N + 1,) per-ORIGINAL-gaussian segment starts of
+    #     the gradient-reduction sort keyed on pair_orig
     spatial_perm: jax.Array  # (N,) grouping order of gauss_starts (identity)
     total_pairs: jax.Array  # () int32 — raw total (overflow diagnostic)
 
@@ -313,10 +319,15 @@ def bin_gaussians(
     pos = jnp.arange(c, dtype=jnp.int32)
     live = pos < total
     xy = x0 * 4096 + y0
+    # Row 4 expands each pair's ORIGINAL gaussian id: it rides the
+    # binning sort (replacing the old pre-sort pair position) so the
+    # backward's gradient-reduction sort can key on it directly and
+    # emit per-Gaussian sums already in original order.
     vals = jnp.stack(
-        [jnp.arange(n, dtype=jnp.int32), offsets, jnp.maximum(w, 1), xy],
+        [jnp.arange(n, dtype=jnp.int32), offsets, jnp.maximum(w, 1), xy,
+         order.astype(jnp.int32)],
         axis=0,
-    )  # (4, N) field-major
+    )  # (5, N) field-major
     gauss_starts = jnp.concatenate([offsets, total[None]]).astype(jnp.int32)
     # expand_segments is exact for int rows < 2^24 and any f32 rows; it
     # streams the value table from HBM when N exceeds VMEM residency, so
@@ -352,18 +363,18 @@ def bin_gaussians(
                 vals.astype(jnp.float32),
                 jnp.stack([m2d_s[:, 0], m2d_s[:, 1], con_s[:, 0],
                            con_s[:, 1], con_s[:, 2], thr], axis=0),
-            ], axis=0)  # (10, N)
+            ], axis=0)  # (11, N)
             accf = rp.expand_segments(allvals, gauss_starts, c,
                                       out_dtype=jnp.float32)
-            acc = accf[:4].astype(jnp.int32)
-            pair_flds = accf[4:]
+            acc = accf[:5].astype(jnp.int32)
+            pair_flds = accf[5:]
         else:
             acc = rp.expand_segments(vals, gauss_starts, c)
     else:
         diffs = jnp.concatenate(
             [vals[:, :1], vals[:, 1:] - vals[:, :-1]], axis=1
         )
-        table = jnp.zeros((4, c), jnp.int32).at[:, offsets].add(
+        table = jnp.zeros((vals.shape[0], c), jnp.int32).at[:, offsets].add(
             diffs, mode="drop"
         )
         if cfg.backend == "pallas" and c < (1 << 24):
@@ -377,7 +388,7 @@ def bin_gaussians(
     wg = jnp.maximum(acc[2], 1)
     x0p = acc[3] // 4096
     y0p = acc[3] % 4096
-    q_spatial = pos  # pre-sort (depth-grouped) pair position
+    orig0 = acc[4]  # original gaussian id per pre-sort pair
     tile_id = x0p + rank % wg + (y0p + rank // wg) * cfg.tiles_x
     tile_id = jnp.clip(tile_id, 0, t_pad)  # dead-lane overflow insurance
 
@@ -416,12 +427,12 @@ def bin_gaussians(
         smin = jnp.where(inside, 0.0, smin)
         survive = smin <= pthr + 1e-3
 
-    # The sort also carries each pair's spatial-grouped position (dead
-    # slots get the sentinel C): the backward pass re-orders per-pair
-    # gradients into that order, where every Gaussian's pairs are
-    # contiguous — the gradient reduction becomes a segmented sum over
-    # contiguous ranges instead of a 2M-row scatter-add.
-    qv = jnp.where(live, q_spatial, c)
+    # The sort also carries each pair's ORIGINAL gaussian id (dead slots
+    # get the sentinel N): the backward's gradient-reduction sort keys on
+    # it, so per-Gaussian gradient segments come out directly in original
+    # parameter order — the former N-scale 15-column un-permute sort
+    # (8.9 ms at N=1M) disappears. Segment boundaries are `orig_starts`.
+    ov = jnp.where(live, orig0, n)
     scheme = cfg.sort_scheme
     if scheme == "auto":
         if (t_pad + 1) * big <= jnp.iinfo(jnp.int32).max:
@@ -446,7 +457,7 @@ def bin_gaussians(
             key_real = jnp.where(
                 live & ~survive, tile_id * big + n, key_real
             )
-        keys, pair_pos = jax.lax.sort((key_real, qv), num_keys=1)
+        keys, pair_orig = jax.lax.sort((key_real, ov), num_keys=1)
         pair_gauss = (keys % big).astype(jnp.int32)
         if cull:
             bounds = jnp.arange(t_pad, dtype=jnp.int32) * big + n
@@ -478,7 +489,7 @@ def bin_gaussians(
                 tile_id.astype(jnp.uint32) * bigu + jnp.uint32(n),
                 key_real,
             )
-        keys, pair_pos = jax.lax.sort((key_real, qv), num_keys=1)
+        keys, pair_orig = jax.lax.sort((key_real, ov), num_keys=1)
         pair_gauss = (keys % bigu).astype(jnp.int32)
         if cull:
             bounds = (jnp.arange(t_pad, dtype=jnp.uint32) * bigu
@@ -499,8 +510,8 @@ def bin_gaussians(
         if cull:
             key_real = jnp.where(live & ~survive, tile_id * 2 + 1, key_real)
             gv = jnp.where(live & ~survive, n, gv)
-        keys, pair_gauss, pair_pos = jax.lax.sort(
-            (key_real, gv, qv), num_keys=1, is_stable=True
+        keys, pair_gauss, pair_orig = jax.lax.sort(
+            (key_real, gv, ov), num_keys=1, is_stable=True
         )
         if cull:
             bounds = jnp.arange(t_pad, dtype=jnp.int32) * 2 + 1
@@ -514,15 +525,27 @@ def bin_gaussians(
     pair_gauss = jnp.concatenate(
         [pair_gauss, jnp.full((k,), n, jnp.int32)]
     )
-    pair_pos = jnp.concatenate([pair_pos, jnp.full((k,), c, jnp.int32)])
+    pair_orig = jnp.concatenate([pair_orig, jnp.full((k,), n, jnp.int32)])
+
+    # Per-ORIGINAL-gaussian pair counts: counts_g is in depth-sorted
+    # order; permuting it back rides an N-scale key+1 sort (order is a
+    # permutation of [0, N), so sorting by it IS the inverse permute —
+    # a direct .at[order].set scatter serializes at ~20-25 ns/row).
+    _, counts_orig = jax.lax.sort((order.astype(jnp.int32), counts_g),
+                                  num_keys=1)
+    orig_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts_orig).astype(jnp.int32)]
+    )
 
     return _Binned(
         order=order,
         pair_gauss=pair_gauss,
-        pair_pos=pair_pos,
+        pair_orig=pair_orig,
         starts=starts,
         counts=tile_counts,
         gauss_starts=gauss_starts,
+        orig_starts=orig_starts,
         spatial_perm=spatial_perm,
         total_pairs=total_raw,
     )
@@ -977,23 +1000,25 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
     )
 
     if pack_grads:
-        # Per-Gaussian reduction via ONE variadic sort into pre-sort pair
-        # order + the MXU reduce_segments_packed kernel. The backward
-        # kernel already emitted the 6 + F live gradient rows bf16-packed
-        # two-per-int32 lane (in-kernel RNE), so the sort carries
-        # ceil((6+F)/2) int32 rows instead of 16 f32 rows — measured
-        # 13.5 ms total vs 31 ms for the direct segment-sum at 1.9M pairs
-        # (perf/tpu_micro5.py). Keys are the pre-sort pair positions
-        # (unique in [0, total); dummies carry the sentinel C), so sorted
-        # position j holds EXACTLY the pair with pair_pos == j and
-        # binned.gauss_starts delimits each Gaussian's contiguous range.
-        # Unreplayed slots keep their real key with exact-zero values
-        # (the slab aliases a zero-filled buffer). |dmx|,|dmy| (absgrad)
-        # are derived in the reduce kernel, not sorted.
+        # Per-Gaussian reduction via ONE variadic sort keyed on each
+        # pair's ORIGINAL gaussian id + the MXU reduce_segments_packed
+        # kernel. The backward kernel already emitted the 6 + F live
+        # gradient rows bf16-packed two-per-int32 lane (in-kernel RNE),
+        # so the sort carries ceil((6+F)/2) int32 rows instead of 16 f32
+        # rows — measured 13.5 ms total vs 31 ms for the direct
+        # segment-sum at 1.9M pairs (perf/tpu_micro5.py). Keys are
+        # pair_orig (dummies carry the sentinel N and land past
+        # starts[-1]); binned.orig_starts delimits each ORIGINAL
+        # gaussian's contiguous segment, so the reduced rows come out
+        # directly in original parameter order — the former N-scale
+        # 15-column un-permute sort (8.9 ms at N=1M) is gone. Culled
+        # pairs keep their real id but exact-zero values, and unreplayed
+        # slots read zeros too (the slab aliases a zero-filled buffer).
+        # |dmx|,|dmy| (absgrad) are derived in the reduce kernel.
         nlive = 6 + f
         rows_used = (nlive + 1) // 2
         sorted_out = jax.lax.sort(
-            (binned.pair_pos,) + tuple(grads[i] for i in range(rows_used)),
+            (binned.pair_orig,) + tuple(grads[i] for i in range(rows_used)),
             num_keys=1,
         )
         slab = jnp.stack(sorted_out[1:], axis=0)  # (PR, C_al) int32
@@ -1002,36 +1027,23 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
         slab = jnp.pad(slab, ((0, 0), (0, 512)))
         # decode + abs happen inside the kernel (exact bf16->f32 via
         # bits << 16); no XLA unpack/stack pass, half the DMA bytes.
-        per = rp.reduce_segments_packed(slab, binned.gauss_starts, n)
+        per = rp.reduce_segments_packed(slab, binned.orig_starts, n)
         fields = per[:nlive]
         absr = per[-2:]
-        per_sorted = jnp.concatenate([fields, absr], axis=0)[:, :n].T
+        out = jnp.concatenate([fields, absr], axis=0)[:, :n].T
     else:
-        # Exact f32 path: one segment-sum keyed by the decoded pair ids
-        # (dummies land in the dropped N bucket). Measured note: f32
-        # re-ordering of the (GW, C_al) slab — gather, scatter, or an
-        # UNPACKED 16-row sort — costs 21-50 ms at 2M pairs; the direct
-        # scatter-add is the cheapest exact-f32 formulation.
+        # Exact f32 path: one segment-sum keyed by the original gaussian
+        # ids (dummies land in the dropped N bucket) — output is already
+        # in original order. Measured note: f32 re-ordering of the
+        # (GW, C_al) slab — gather, scatter, or an UNPACKED 16-row
+        # sort — costs 21-50 ms at 2M pairs; the direct scatter-add is
+        # the cheapest exact-f32 formulation.
         ps = jax.ops.segment_sum(
-            grads.T, binned.pair_gauss, num_segments=n + 1
+            grads.T, binned.pair_orig, num_segments=n + 1
         )[:n]  # (N, GW)
-        per_sorted = jnp.concatenate(
+        out = jnp.concatenate(
             [ps[:, :6 + f], ps[:, rp.GW - 2:rp.GW]], axis=-1
         )  # (N, 8 + F)
-
-    # Un-permute from depth-sorted back to original Gaussian order by
-    # RIDING A SORT on the permutation key: out[j] = per_sorted[i] where
-    # order[i] = j, i.e. sort the gradient rows by `order` ascending —
-    # identical to the scatter `zeros.at[order].set(per_sorted)` but
-    # 8.9 ms vs 85 ms at N=1M (random-permutation row scatters hit the
-    # ~20-25 ns/row wall; XLA's variadic sort streams,
-    # perf/tpu_micro_1m2.py).
-    sorted_cols = jax.lax.sort(
-        (binned.order,)
-        + tuple(per_sorted[:, i] for i in range(per_sorted.shape[1])),
-        num_keys=1,
-    )
-    out = jnp.stack(sorted_cols[1:], axis=1)
 
     return (
         out[:, 0:2],

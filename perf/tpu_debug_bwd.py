@@ -138,7 +138,7 @@ def reduce_path():
     @jax.jit
     def go():
         sorted_out = jax.lax.sort(
-            (binned.pair_pos,) + tuple(merged[i] for i in range(rows_used)),
+            (binned.pair_orig,) + tuple(merged[i] for i in range(rows_used)),
             num_keys=1)
         slab = jnp.stack(sorted_out[1:], axis=0)
         slab = jnp.pad(slab, ((0, 0), (0, 512)))

@@ -128,7 +128,7 @@ validf = jnp.ones((N,), jnp.float32)
 
 def b_bin_full(s, m2d, dep, rad, val):
     b = bin_gaussians(cfg, m2d + s * 1e-20, dep, rad, val)
-    return (b.pair_gauss[::997].sum() + b.pair_pos[::997].sum()
+    return (b.pair_gauss[::997].sum() + b.pair_orig[::997].sum()
             + b.starts[::7].sum() + b.counts[::7].sum()).astype(jnp.float32)
 timed("bin_gaussians FULL", b_bin_full, means2d, depths, radii, validf)
 

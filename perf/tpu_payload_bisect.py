@@ -70,26 +70,26 @@ def s_bin_full(seed):
     """binning but consuming BOTH sort outputs (no pair_pos DCE)."""
     b, fields_s = upto_bin(seed)
     return (jnp.sum(b.starts) + jnp.sum(b.pair_gauss[::997])
-            + jnp.sum(b.pair_pos[::997])).astype(jnp.float32)
+            + jnp.sum(b.pair_orig[::997])).astype(jnp.float32)
 
 def s_gather_only(seed):
     b, fields_s = upto_bin(seed)
     fields = jnp.concatenate([fields_s, jnp.zeros((1, rp.PW), jnp.float32)])
     rows = fields[b.pair_gauss]  # (C_al, PW), no transpose
-    return jnp.sum(rows[::997]) + jnp.sum(b.pair_pos[::997]).astype(jnp.float32)
+    return jnp.sum(rows[::997]) + jnp.sum(b.pair_orig[::997]).astype(jnp.float32)
 
 def s_gather_T(seed):
     b, fields_s = upto_bin(seed)
     fields = jnp.concatenate([fields_s, jnp.zeros((1, rp.PW), jnp.float32)])
     payload = fields[b.pair_gauss].T  # (PW, C_al)
-    return jnp.sum(payload[:, ::997]) + jnp.sum(b.pair_pos[::997]).astype(jnp.float32)
+    return jnp.sum(payload[:, ::997]) + jnp.sum(b.pair_orig[::997]).astype(jnp.float32)
 
 def s_gather_T_full(seed):
     """force FULL materialization: sum everything, not a strided sample."""
     b, fields_s = upto_bin(seed)
     fields = jnp.concatenate([fields_s, jnp.zeros((1, rp.PW), jnp.float32)])
     payload = fields[b.pair_gauss].T
-    return jnp.sum(payload) + jnp.sum(b.pair_pos[::997]).astype(jnp.float32)
+    return jnp.sum(payload) + jnp.sum(b.pair_orig[::997]).astype(jnp.float32)
 
 timed("bin (pair_pos consumed)", rep(s_bin_full))
 timed("+gather (C,16) no T    ", rep(s_gather_only))
@@ -105,7 +105,7 @@ def s_gather_barrier(seed):
     fields = jnp.concatenate([fields_s, jnp.zeros((1, rp.PW), jnp.float32)])
     pg, fields = jax.lax.optimization_barrier((b.pair_gauss, fields))
     payload = fields[pg].T
-    return jnp.sum(payload[:, ::997]) + jnp.sum(b.pair_pos[::997]).astype(jnp.float32)
+    return jnp.sum(payload[:, ::997]) + jnp.sum(b.pair_orig[::997]).astype(jnp.float32)
 
 
 def s_gather_barrier_idx(seed):
@@ -114,7 +114,7 @@ def s_gather_barrier_idx(seed):
     fields = jnp.concatenate([fields_s, jnp.zeros((1, rp.PW), jnp.float32)])
     pg = jax.lax.optimization_barrier(b.pair_gauss)
     payload = fields[pg].T
-    return jnp.sum(payload[:, ::997]) + jnp.sum(b.pair_pos[::997]).astype(jnp.float32)
+    return jnp.sum(payload[:, ::997]) + jnp.sum(b.pair_orig[::997]).astype(jnp.float32)
 
 
 timed("+gather, barrier both  ", rep(s_gather_barrier))

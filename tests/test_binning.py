@@ -100,27 +100,35 @@ def test_overflow_drops_whole_deepest_gaussians():
     _check_layout(cfg, b, kept_pairs, len(m2d))
 
 
-def test_pair_pos_inverse_roundtrip():
+def test_pair_orig_ids_and_segments():
     m2d, depths, radii, valid = _scene(seed=4)
     cfg = RasterizeConfig(width=128, height=96, tile_size=16, chunk=16,
                           tile_block=4, pair_capacity=1 << 13)
     b = bin_gaussians(cfg, jnp.asarray(m2d), jnp.asarray(depths),
                       jnp.asarray(radii), jnp.asarray(valid))
-    pp = np.asarray(b.pair_pos)
+    po = np.asarray(b.pair_orig)
     pg = np.asarray(b.pair_gauss)
+    order = np.asarray(b.order)
     n = len(m2d)
     total = int(np.asarray(b.gauss_starts)[-1])
     live = pg < n
-    # live slots carry distinct pre-sort positions covering [0, total)
-    assert sorted(pp[live].tolist()) == list(range(total))
-    assert (pp[~live] == cfg.pair_capacity).all()
-    # grouped position q maps back to the same gaussian: the grouped
-    # order is per-gaussian contiguous (gauss_starts over the spatial
-    # walk; spatial_perm maps spatial rank -> depth-sorted id)
-    gs = np.asarray(b.gauss_starts)
-    sp = np.asarray(b.spatial_perm)
-    owner = np.searchsorted(gs[1:], pp[live], side="right")
-    np.testing.assert_array_equal(sp[owner], pg[live])
+    # live slots carry the ORIGINAL gaussian id of their pair
+    np.testing.assert_array_equal(po[live], order[pg[live]])
+    assert (po[~live] == n).all()
+    # orig_starts delimits per-ORIGINAL-gaussian segments: the multiset
+    # of live ids grouped by id matches the segment sizes, and the
+    # segments tile [0, total)
+    os_ = np.asarray(b.orig_starts)
+    assert os_[0] == 0 and os_[-1] == total
+    seg_sizes = np.diff(os_)
+    id_counts = np.bincount(po[live], minlength=n)
+    np.testing.assert_array_equal(seg_sizes, id_counts)
+    # sorting the live slab by pair_orig reproduces exactly those
+    # segments (what the gradient-reduction sort relies on)
+    keys = np.sort(po)  # includes dead sentinels at the tail
+    for g in range(n):
+        seg = keys[os_[g]:os_[g + 1]]
+        assert (seg == g).all()
 
 
 def test_reduce_segments_matches_numpy():
@@ -311,8 +319,8 @@ def test_tilekey_sort_layout_identical_to_packed():
                 )
                 for s in ("packed", "packed32", "tilekey")
             ]
-            for field in ("order", "pair_gauss", "pair_pos", "starts",
-                          "counts", "gauss_starts"):
+            for field in ("order", "pair_gauss", "pair_orig", "starts",
+                          "counts", "gauss_starts", "orig_starts"):
                 for alt in (1, 2):
                     np.testing.assert_array_equal(
                         np.asarray(getattr(outs[0], field)),

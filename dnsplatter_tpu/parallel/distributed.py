@@ -215,13 +215,14 @@ def make_dp_train_step(
     gradients across `dp`, one Adam update on the averaged gradients.
 
     Inputs: params/alive/adam/stats laid out by `shard_state_hybrid`;
-    cameras/batch/keys/cam_adjs stacked (dp, ...) by `stack_frames`.
-    Returns the same layout plus (mean loss, per-frame cam-adj grads).
+    cameras/batch/keys stacked (dp, ...) by `stack_frames`; the
+    camera-opt state replicated with the (dp,) global frame indices.
+    Returns the same layout plus (mean loss, updated cam-opt state).
     """
     from dnsplatter_tpu.models.dn_model import (
         apply_binary_opacities, compute_loss, get_outputs,
     )
-    from dnsplatter_tpu.train.optim import adam_step
+    from dnsplatter_tpu.train.optim import adam_step, cam_opt_update
     from dnsplatter_tpu.train.strategy import update_stats
 
     max_size = float(max(raster_cfg.width, raster_cfg.height))
@@ -268,7 +269,7 @@ def make_dp_train_step(
 
     @jax.jit
     def step_fn(params, alive, adam, stats, cameras, batch, step, keys,
-                cam_adjs):
+                cam_state, frame_idx):
         body = jax.shard_map(
             grads_one,
             mesh=mesh,
@@ -282,6 +283,7 @@ def make_dp_train_step(
             axis_names={dp_axis},  # manual over dp; gauss stays GSPMD
             check_vma=False,
         )
+        cam_adjs = cam_state.adj[frame_idx]  # (dp, 6) tiny gather
         gp, gabs, loss, radii, valid, gadjs = body(
             params, alive, cameras, batch, step, keys, cam_adjs
         )
@@ -291,6 +293,12 @@ def make_dp_train_step(
         )
         new_params, new_adam = adam_step(optim_cfg, params, gp, adam, step)
         new_stats = update_stats(stats, gabs, radii, valid > 0.5, max_size)
-        return new_params, new_adam, new_stats, loss, gadjs
+        # Pose-opt state update stays in-jit (replicated state + a (dp,)
+        # batched scatter-add of the per-frame grads; duplicate indices
+        # accumulate), so it is process-count-agnostic.
+        new_cam = (cam_opt_update(optim_cfg, cam_state, frame_idx, gadjs,
+                                  step)
+                   if use_cam_opt else cam_state)
+        return new_params, new_adam, new_stats, loss, new_cam
 
     return step_fn

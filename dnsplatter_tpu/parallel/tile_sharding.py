@@ -286,8 +286,8 @@ def make_tile_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0, 2, 3))
     def step_fn(params, alive, adam, stats, camera, batch, step, key,
-                cam_adj):
-        del cam_adj  # camera optimizer not wired into the tile path
+                cam_state, cam_i):
+        del cam_i  # camera optimizer not wired into the tile path
         kbg, kloss = jax.random.split(key)
         params_b = apply_binary_opacities(params, alive, model_cfg, step)
         sink = jnp.zeros_like(params_b.means[:, :2])
@@ -313,7 +313,6 @@ def make_tile_train_step(
                                          step)
         new_stats = update_stats(stats, gabs, info.radii, info.valid,
                                  max_size)
-        return new_params, new_adam, new_stats, loss, loss_dict, jnp.zeros(
-            (6,))
+        return new_params, new_adam, new_stats, loss, loss_dict, cam_state
 
     return step_fn

@@ -162,3 +162,64 @@ def zero_moments_field(state: AdamState, field: str) -> AdamState:
 
     return AdamState(mu=zf(state.mu), nu=zf(state.nu), count=state.count,
                      accum=zf(state.accum))
+
+
+class CamOptState(NamedTuple):
+    """Device-side camera-pose optimizer state (SO3xR3 tangents + Adam).
+
+    Lives entirely inside the jitted train step so pose optimization
+    composes with multi-step dispatch (lax.scan) and multi-process data
+    parallelism (the state is replicated; updates are deterministic).
+    Reference: nerfstudio CameraOptimizer + dn_config.py:22,57-61.
+    """
+
+    adj: jax.Array    # (n_cams, 6) SE(3) tangents
+    accum: jax.Array  # (n_cams, 6) pending gradient accumulation
+    mu: jax.Array     # (n_cams, 6) Adam first moments
+    nu: jax.Array     # (n_cams, 6) Adam second moments
+    count: jax.Array  # () int32 applied-update counter (bias correction)
+
+
+def init_cam_opt(n_cams: int) -> CamOptState:
+    n = max(n_cams, 1)
+    z = jnp.zeros((n, 6), jnp.float32)
+    return CamOptState(adj=z, accum=z, mu=z, nu=z,
+                       count=jnp.zeros((), jnp.int32))
+
+
+def cam_opt_update(
+    cfg: OptimConfig,
+    state: CamOptState,
+    cam_i: jax.Array,   # () int32 — this step's camera index
+    gadj: jax.Array,    # (6,) pose-tangent gradient from the step
+    step: jax.Array,    # () int32 — trainer step (pre-increment)
+) -> CamOptState:
+    """Accumulate this step's pose gradient and, every
+    `accum_camera_opt`-th step, apply one full-array Adam update with the
+    exponential lr schedule lr0 -> lr_final over max_steps
+    (dn_config.py:57-61). Matches plain Adam on the accumulated sums;
+    rows without gradients still decay their moments (same as the
+    reference's single optimizer over the stacked tangents)."""
+    accum = state.accum.at[cam_i].add(gadj)
+
+    def apply(acc):
+        count = state.count + 1
+        mu = cfg.b1 * state.mu + (1.0 - cfg.b1) * acc
+        nu = cfg.b2 * state.nu + (1.0 - cfg.b2) * acc * acc
+        cf = count.astype(jnp.float32)
+        mhat = mu / (1.0 - cfg.b1 ** cf)
+        vhat = nu / (1.0 - cfg.b2 ** cf)
+        frac = jnp.clip(step.astype(jnp.float32) / cfg.max_steps, 0.0, 1.0)
+        lr = cfg.lr_camera_opt * (
+            cfg.lr_camera_opt_final / cfg.lr_camera_opt
+        ) ** frac
+        adj = state.adj - lr * mhat / (jnp.sqrt(vhat) + cfg.eps)
+        return CamOptState(adj=adj, accum=jnp.zeros_like(acc), mu=mu,
+                           nu=nu, count=count)
+
+    return jax.lax.cond(
+        (step + 1) % cfg.accum_camera_opt == 0,
+        apply,
+        lambda acc: state._replace(accum=acc),
+        accum,
+    )

@@ -34,7 +34,10 @@ from dnsplatter_tpu.models.dn_model import (
 from dnsplatter_tpu.models.gaussians import GaussianParams
 from dnsplatter_tpu.ops.camera import Camera
 from dnsplatter_tpu.ops.rasterize import RasterizeConfig
-from dnsplatter_tpu.train.optim import AdamState, OptimConfig, adam_step, init_adam
+from dnsplatter_tpu.train.optim import (
+    AdamState, CamOptState, OptimConfig, adam_step, cam_opt_update,
+    init_adam, init_cam_opt,
+)
 from dnsplatter_tpu.train.strategy import (
     RefineStats,
     cull_only,
@@ -131,7 +134,8 @@ def make_train_step(
         batch: Dict[str, jax.Array],
         step: jax.Array,
         key: jax.Array,
-        cam_adj: jax.Array,  # (6,) this camera's pose tangent (zeros if off)
+        cam_state: CamOptState,  # device-side pose-opt state (tiny)
+        cam_i: jax.Array,  # () int32 — this frame's camera index
     ):
         kbg, kloss = jax.random.split(key)
         params = apply_binary_opacities(params, alive, model_cfg, step)
@@ -155,7 +159,7 @@ def make_train_step(
 
         (loss, (loss_dict, info)), (gparams, gabs, gadj) = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True
-        )(params, sink, cam_adj)
+        )(params, sink, cam_state.adj[cam_i])
 
         # Freeze dead capacity-padding slots.
         am = alive
@@ -164,7 +168,9 @@ def make_train_step(
         )
         new_params, new_adam = adam_step(optim_cfg, params, gparams, adam, step)
         new_stats = update_stats(stats, gabs, info.radii, info.valid, max_size)
-        return new_params, new_adam, new_stats, loss, loss_dict, gadj
+        new_cam = (cam_opt_update(optim_cfg, cam_state, cam_i, gadj, step)
+                   if use_cam_opt else cam_state)
+        return new_params, new_adam, new_stats, loss, loss_dict, new_cam
 
     return step_fn
 
@@ -183,22 +189,22 @@ def make_train_step_multi(
 
     @jax.jit
     def multi(params, alive, adam, stats, cameras, batches, step0, keys,
-              cam_adjs):
+              cam_state, cam_idx):
         def body(carry, xs):
-            params, adam, stats = carry
-            camera, batch, off, key, adj = xs
-            params, adam, stats, loss, _, gadj = inner(
+            params, adam, stats, cam_state = carry
+            camera, batch, off, key, ci = xs
+            params, adam, stats, loss, _, cam_state = inner(
                 params, alive, adam, stats, camera, batch, step0 + off,
-                key, adj,
+                key, cam_state, ci,
             )
-            return (params, adam, stats), (loss, gadj)
+            return (params, adam, stats, cam_state), loss
 
         offs = jnp.arange(k, dtype=jnp.int32)
-        (params, adam, stats), (losses, gadjs) = jax.lax.scan(
-            body, (params, adam, stats),
-            (cameras, batches, offs, keys, cam_adjs),
+        (params, adam, stats, cam_state), losses = jax.lax.scan(
+            body, (params, adam, stats, cam_state),
+            (cameras, batches, offs, keys, cam_idx),
         )
-        return params, adam, stats, losses, gadjs
+        return params, adam, stats, losses, cam_state
 
     return multi
 
@@ -265,12 +271,6 @@ class Trainer:
                        else max(self.dist.process_count, 1))
             devs = jax.devices()
             ndev = train_cfg.devices or len(devs)
-            if model_cfg.camera_optimizer_mode != "off" and \
-                    self.dist.process_count > 1:
-                raise NotImplementedError(
-                    "camera optimizer keeps host-side state per process; "
-                    "disable it for multi-host runs"
-                )
             if model_cfg.num_downscales > 0:
                 raise NotImplementedError(
                     "progressive downscaling is not wired into the dp "
@@ -294,12 +294,9 @@ class Trainer:
         self._history: list = []
         # Camera pose optimizer state (SO3xR3 tangents + its own Adam,
         # lr 1e-3 -> 5e-5 with 100-step accumulation, dn_config.py:57-61).
-        n_cams = len(data)
-        self.cam_adj = jnp.zeros((max(n_cams, 1), 6))
-        self._cam_mu = np.zeros((max(n_cams, 1), 6))
-        self._cam_nu = np.zeros((max(n_cams, 1), 6))
-        self._cam_accum = np.zeros((max(n_cams, 1), 6))
-        self._cam_count = 0
+        # Device-resident: the update runs inside the jitted step, so pose
+        # optimization composes with multi-step dispatch and multi-host dp.
+        self.cam_opt = init_cam_opt(len(data))
         # observability: live viewer + experiment writers
         self.viewer = None
         if train_cfg.viewer:
@@ -514,8 +511,6 @@ class Trainer:
         n = len(self.data)
         t0 = time.time()
         k_dispatch = max(1, self.train_cfg.steps_per_dispatch)
-        if self.model_cfg.camera_optimizer_mode != "off":
-            k_dispatch = 1  # pose opt needs per-step host updates
         if self.dp > 1:
             k_dispatch = 1  # the dp step already batches dp frames/step
         if k_dispatch > 1:
@@ -543,13 +538,12 @@ class Trainer:
                 self.key, kstep = jax.random.split(self.key)
                 cam_i = self.step % n
                 batch_j = self._device_batch(cam_i, batch)
-                self.params, self.adam, self.stats, loss, ld, gadj = fn(
+                (self.params, self.adam, self.stats, loss, ld,
+                 self.cam_opt) = fn(
                     self.params, self.alive, self.adam, self.stats, cam,
                     batch_j, jnp.asarray(self.step, jnp.int32), kstep,
-                    self.cam_adj[cam_i],
+                    self.cam_opt, jnp.asarray(cam_i, jnp.int32),
                 )
-                if self.model_cfg.camera_optimizer_mode != "off":
-                    self._cam_opt_update(cam_i, np.asarray(gadj))
                 self.step += 1
             self._refinement(cam)
             if self.step % log_every == 0 or self.step == target:
@@ -643,16 +637,13 @@ class Trainer:
                 self._batch_cache[("dp", key_sig)] = (cam_g, batch_g)
         self.key, *ks = jax.random.split(self.key, dp + 1)
         keys = D.put_dp(self.mesh, np.stack([np.asarray(k) for k in ks]))
-        all_gidx = [(self.step * dp + r) % n for r in range(dp)]
-        adjs = D.put_dp(self.mesh, np.asarray(self.cam_adj)[all_gidx])
-        (self.params, self.adam, self.stats, loss, gadjs) = fn(
-            self.params, self.alive, self.adam, self.stats, cam_g, batch_g,
-            jnp.asarray(self.step, jnp.int32), keys, adjs,
+        all_gidx = jnp.asarray(
+            [(self.step * dp + r) % n for r in range(dp)], jnp.int32
         )
-        if self.model_cfg.camera_optimizer_mode != "off":
-            g = np.asarray(gadjs)  # single-process only (init guards)
-            for r, gi in enumerate(all_gidx):
-                self._cam_opt_update(gi, g[r])
+        (self.params, self.adam, self.stats, loss, self.cam_opt) = fn(
+            self.params, self.alive, self.adam, self.stats, cam_g, batch_g,
+            jnp.asarray(self.step, jnp.int32), keys, self.cam_opt, all_gidx,
+        )
         return loss
 
     def _dispatch_multi(self, cam0: Camera, sh: int, k: int, n: int) -> float:
@@ -672,12 +663,18 @@ class Trainer:
             kk: jnp.stack([b[kk] for b in dev_batches])
             for kk in batches[0]
         }
-        self.key, *keys = jax.random.split(self.key, k + 1)
+        # Derive per-step keys exactly as k sequential single dispatches
+        # would (sequential pairwise splits), so the two dispatch modes
+        # produce the same update sequence.
+        keys = []
+        for _ in range(k):
+            self.key, kj = jax.random.split(self.key)
+            keys.append(kj)
         keys = jnp.stack(keys)
-        adjs = self.cam_adj[jnp.asarray(idxs)]
-        (self.params, self.adam, self.stats, losses, _) = fn(
+        (self.params, self.adam, self.stats, losses, self.cam_opt) = fn(
             self.params, self.alive, self.adam, self.stats, cam_stack,
-            batch_stack, jnp.asarray(self.step, jnp.int32), keys, adjs,
+            batch_stack, jnp.asarray(self.step, jnp.int32), keys,
+            self.cam_opt, jnp.asarray(idxs, jnp.int32),
         )
         return losses[-1]
 
@@ -715,28 +712,10 @@ class Trainer:
         cache[key] = (cam2, batch2)
         return cam2, batch2
 
-    def _cam_opt_update(self, cam_i: int, grad: np.ndarray) -> None:
-        """Host-side Adam for the camera tangents (tiny state; lr schedule
-        and accumulation window from OptimConfig — reference
-        dn_config.py:22,57-61)."""
-        oc = self.optim_cfg
-        self._cam_accum[cam_i] += grad
-        if (self.step + 1) % oc.accum_camera_opt != 0:
-            return
-        self._cam_count += 1
-        b1, b2, eps = oc.b1, oc.b2, oc.eps
-        frac = min(self.step / oc.max_steps, 1.0)
-        lr = oc.lr_camera_opt * (oc.lr_camera_opt_final
-                                 / oc.lr_camera_opt) ** frac
-        g = self._cam_accum
-        self._cam_mu = b1 * self._cam_mu + (1 - b1) * g
-        self._cam_nu = b2 * self._cam_nu + (1 - b2) * g * g
-        mhat = self._cam_mu / (1 - b1**self._cam_count)
-        vhat = self._cam_nu / (1 - b2**self._cam_count)
-        self.cam_adj = jnp.asarray(
-            np.asarray(self.cam_adj) - lr * mhat / (np.sqrt(vhat) + eps)
-        )
-        self._cam_accum[:] = 0.0
+    @property
+    def cam_adj(self) -> jax.Array:
+        """(n_cams, 6) current pose tangents (state lives in cam_opt)."""
+        return self.cam_opt.adj
 
     # -- checkpointing (orbax-free npz: state is a flat dict of arrays) --
 
@@ -749,7 +728,9 @@ class Trainer:
         }
         flat["alive"] = np.asarray(self.alive)
         flat["step"] = np.asarray(self.step)
-        flat["cam_adj"] = np.asarray(self.cam_adj)
+        for f in CamOptState._fields:
+            flat[f"cam_opt.{f}"] = np.asarray(getattr(self.cam_opt, f))
+        flat["cam_adj"] = np.asarray(self.cam_opt.adj)  # back-compat alias
         for f in self.adam.mu.__dataclass_fields__:
             flat[f"adam.mu.{f}"] = np.asarray(getattr(self.adam.mu, f))
             flat[f"adam.nu.{f}"] = np.asarray(getattr(self.adam.nu, f))
@@ -777,8 +758,16 @@ class Trainer:
 
         self.adam = AdamState(mu=tree("mu"), nu=tree("nu"),
                               count=tree("count"), accum=tree("accum"))
-        if "cam_adj" in z and z["cam_adj"].shape == self.cam_adj.shape:
-            self.cam_adj = jnp.asarray(z["cam_adj"])
+        if ("cam_opt.adj" in z
+                and z["cam_opt.adj"].shape == self.cam_opt.adj.shape):
+            self.cam_opt = CamOptState(**{
+                f: jnp.asarray(z[f"cam_opt.{f}"]) for f in CamOptState._fields
+            })
+        elif "cam_adj" in z and z["cam_adj"].shape == self.cam_opt.adj.shape:
+            # pre-round-3 checkpoints stored only the tangents
+            self.cam_opt = self.cam_opt._replace(
+                adj=jnp.asarray(z["cam_adj"])
+            )
         self.stats = init_stats(self.params.capacity)
         # Resume hygiene: a densified checkpoint can need a larger pair
         # capacity than the seed audit chose, and cached step functions

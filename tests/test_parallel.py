@@ -211,12 +211,13 @@ def test_dp_train_step_matches_per_frame_average(mesh8):
     step_fn = D.make_dp_train_step(mc, oc, rc, 1, mesh)
     cams, batches = zip(*[scene.get(i) for i in range(2)])
     cam_g, batch_g = D.stack_frames(mesh, cams, batches)
+    from dnsplatter_tpu.train.optim import init_cam_opt
+
     dp_sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp"))
     keys_g = jax.device_put(keys, dp_sh)
-    adjs = jax.device_put(jnp.zeros((2, 6)), dp_sh)
     new_params, new_adam, new_stats, loss, _ = step_fn(
         params_s, alive_s, adam_s, stats_s, cam_g, batch_g, step,
-        keys_g, adjs)
+        keys_g, init_cam_opt(2), jnp.arange(2, dtype=jnp.int32))
 
     np.testing.assert_allclose(float(loss), float((l0 + l1) / 2), rtol=1e-5)
     for f in params.__dataclass_fields__:
@@ -294,7 +295,9 @@ def test_gspmd_sharded_step_collectives_are_bounded(mesh8):
     from dnsplatter_tpu.models.dn_model import ModelConfig
     from dnsplatter_tpu.models.gaussians import init_from_points
     from dnsplatter_tpu.parallel.sharding import make_sharded_train_step
-    from dnsplatter_tpu.train.optim import OptimConfig, init_adam
+    from dnsplatter_tpu.train.optim import (
+        OptimConfig, init_adam, init_cam_opt,
+    )
     from dnsplatter_tpu.train.strategy import init_stats
 
     capacity = 8192
@@ -318,7 +321,8 @@ def test_gspmd_sharded_step_collectives_are_bounded(mesh8):
     batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
     compiled = fn.lower(
         params, alive, adam, stats, cam, batch_j,
-        jnp.asarray(0, jnp.int32), jax.random.PRNGKey(1), jnp.zeros((6,)),
+        jnp.asarray(0, jnp.int32), jax.random.PRNGKey(1),
+        init_cam_opt(1), jnp.asarray(0, jnp.int32),
     ).compile()
 
     state_bytes = sum(
@@ -372,9 +376,12 @@ def test_tile_sharded_train_step_matches_single_device(mesh8):
     key = jax.random.PRNGKey(3)
     step = jnp.asarray(0, jnp.int32)
 
+    from dnsplatter_tpu.train.optim import init_cam_opt
+
     ref_fn = make_train_step(mc, oc, rc, 1)
     rp_, ra_, rs_, rloss, _, _ = ref_fn(params, alive, adam, stats, cam,
-                                        batch, step, key, jnp.zeros((6,)))
+                                        batch, step, key, init_cam_opt(1),
+                                        jnp.asarray(0, jnp.int32))
 
     gs = jax.sharding.NamedSharding(mesh8, jax.sharding.PartitionSpec("gauss"))
     put = lambda t: jax.device_put(t, gs) if getattr(t, "ndim", 0) >= 1 else t
@@ -385,7 +392,8 @@ def test_tile_sharded_train_step_matches_single_device(mesh8):
     tile_fn = make_tile_train_step(mc, oc, rc, 1, mesh8)
     tp_, ta_, ts_, tloss, _, _ = tile_fn(params_s, alive_s, adam_s, stats_s,
                                          cam, batch, step, key,
-                                         jnp.zeros((6,)))
+                                         init_cam_opt(1),
+                                         jnp.asarray(0, jnp.int32))
 
     np.testing.assert_allclose(float(tloss), float(rloss), rtol=1e-5)
     for f in params.__dataclass_fields__:

@@ -205,3 +205,46 @@ def test_auto_pair_capacity_sizes_from_data():
     assert cap % 32 == 0
     h = tr.train(num_steps=4, log_every=4)
     assert np.isfinite(h[-1]["loss"])
+
+
+def test_cam_opt_multi_dispatch_matches_single():
+    """Pose optimization now lives inside the jitted step, so k-step
+    dispatch (lax.scan) must reproduce the single-dispatch sequence
+    exactly — tangents included (pre-round-3 the trainer force-disabled
+    multi-step dispatch whenever the camera optimizer was on)."""
+
+    def make(k_dispatch):
+        scene = make_synthetic_scene(seed=0, n_gaussians=300, n_cameras=4,
+                                     width=64, height=48,
+                                     pair_capacity=1 << 14)
+        mc = ModelConfig(
+            use_depth_loss=True, depth_lambda=0.2, use_normal_loss=True,
+            warmup_length=10_000, sh_degree=1,
+            camera_optimizer_mode="SO3xR3",
+        )
+        pts, cols = scene.seed_points(jax.random.PRNGKey(1), noise=0.03)
+        return Trainer(
+            data=scene, seed_points=(pts, cols), model_cfg=mc,
+            train_cfg=TrainConfig(pair_capacity=1 << 14, chunk=32,
+                                  tile_block=4, seed=3,
+                                  steps_per_dispatch=k_dispatch),
+            optim_cfg=OptimConfig(accum_camera_opt=4),
+        )
+
+    # One full accumulation window (4 steps = 1 Adam apply). Longer runs
+    # are sign-unstable by construction: Adam on near-zero accumulated
+    # pose grads amplifies f32 fusion differences (scan vs non-scan)
+    # into sign flips, so cross-mode comparison is only meaningful per
+    # apply window.
+    t1 = make(1)
+    t1.train(num_steps=4, log_every=4)
+    t4 = make(4)
+    t4.train(num_steps=4, log_every=4)
+    adj1 = np.asarray(t1.cam_opt.adj)
+    assert np.abs(adj1).max() > 0.0, "pose tangents never moved"
+    np.testing.assert_allclose(adj1, np.asarray(t4.cam_opt.adj),
+                               rtol=1e-5, atol=1e-8)
+    assert int(t1.cam_opt.count) == int(t4.cam_opt.count) == 1
+    np.testing.assert_allclose(np.asarray(t1.params.means),
+                               np.asarray(t4.params.means),
+                               rtol=1e-5, atol=1e-7)

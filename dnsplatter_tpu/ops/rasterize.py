@@ -527,12 +527,38 @@ def bin_gaussians(
     )
     pair_orig = jnp.concatenate([pair_orig, jnp.full((k,), n, jnp.int32)])
 
-    # Per-ORIGINAL-gaussian pair counts: counts_g is in depth-sorted
-    # order; permuting it back rides an N-scale key+1 sort (order is a
-    # permutation of [0, N), so sorting by it IS the inverse permute —
-    # a direct .at[order].set scatter serializes at ~20-25 ns/row).
-    _, counts_orig = jax.lax.sort((order.astype(jnp.int32), counts_g),
-                                  num_keys=1)
+    # Per-ORIGINAL-gaussian pair counts. Fast path (no capacity
+    # overflow — the auto-sized default): recompute the identical
+    # elementwise bbox math directly on the UNSORTED inputs, which is
+    # exactly counts_g un-permuted. Overflow path: the `fits` drop
+    # depends on the depth-sorted prefix sums, so permuting counts_g
+    # back rides an N-scale key+1 sort (order is a permutation of
+    # [0, N); a direct .at[order].set scatter serializes at
+    # ~20-25 ns/row).
+    rad_u = radii if radii.ndim == 2 else (
+        radii[:, None] * jnp.ones((1, 2), radii.dtype)
+    )
+    x0u = jnp.clip(jnp.floor((means2d[:, 0] - rad_u[:, 0]) / ts)
+                   .astype(jnp.int32), 0, cfg.tiles_x)
+    x1u = jnp.clip(jnp.floor((means2d[:, 0] + rad_u[:, 0]) / ts)
+                   .astype(jnp.int32) + 1, 0, cfg.tiles_x)
+    y0u = jnp.clip(jnp.floor((means2d[:, 1] - rad_u[:, 1]) / ts)
+                   .astype(jnp.int32), 0, cfg.tiles_y)
+    y1u = jnp.clip(jnp.floor((means2d[:, 1] + rad_u[:, 1]) / ts)
+                   .astype(jnp.int32) + 1, 0, cfg.tiles_y)
+    counts_orig_raw = jnp.where(
+        valid,
+        jnp.maximum(x1u - x0u, 0) * jnp.maximum(y1u - y0u, 0),
+        0,
+    ).astype(jnp.int32)
+    counts_orig = jax.lax.cond(
+        total_raw <= c,
+        lambda _: counts_orig_raw,
+        lambda _: jax.lax.sort(
+            (order.astype(jnp.int32), counts_g), num_keys=1
+        )[1],
+        None,
+    )
     orig_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
          jnp.cumsum(counts_orig).astype(jnp.int32)]

@@ -98,6 +98,14 @@ def test_overflow_drops_whole_deepest_gaussians():
         acc += cnt
         kept_pairs |= {p for p in pairs_all if p[1] == rank}
     _check_layout(cfg, b, kept_pairs, len(m2d))
+    # orig_starts stays consistent under the overflow drop (the slow
+    # permute path): segment sizes == live pair_orig id counts
+    po = np.asarray(b.pair_orig)
+    pg = np.asarray(b.pair_gauss)
+    os_ = np.asarray(b.orig_starts)
+    np.testing.assert_array_equal(
+        np.diff(os_), np.bincount(po[pg < len(m2d)], minlength=len(m2d))
+    )
 
 
 def test_pair_orig_ids_and_segments():

@@ -1,0 +1,163 @@
+"""Per-collective size accounting for the sharded train step.
+
+SURVEY §5 scaling axes: before running a multi-chip job, compile the
+GSPMD-sharded step for the target mesh and report (a) which cross-device
+collectives XLA inserted and how many bytes each moves per step, and
+(b) the per-device argument/output/temp memory — the two quantities that
+decide whether a layout scales (collectives must stay O(screen payload),
+never O(capacity x SH x Adam)).
+
+Usage (no TPU needed — compiles AOT on any backend):
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python -m dnsplatter_tpu.utils.scaling --devices 8 [--capacity N]
+
+The same accounting runs in CI: tests/test_parallel.py pins the
+collective-byte bound so a layout regression fails the suite.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+_DT_BYTES = {"f32": 4, "s32": 4, "u32": 4, "pred": 1, "f16": 2,
+             "bf16": 2, "s8": 1, "u8": 1, "f64": 8, "s64": 8}
+
+_COLLECTIVES = ("all-gather", "all-reduce", "reduce-scatter",
+                "collective-permute", "all-to-all")
+
+
+def collective_breakdown(hlo_text: str) -> Tuple[int, List[Dict]]:
+    """(total output bytes, per-op rows) for cross-device collectives in
+    compiled HLO text."""
+    rows = []
+    total = 0
+    for m in re.finditer(
+        r"=\s*([a-z0-9]+)\[([0-9,]*)\][^=]*?\s("
+        + "|".join(_COLLECTIVES) + r")\(", hlo_text,
+    ):
+        dt, dims, op = m.group(1), m.group(2), m.group(3)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        b = n * _DT_BYTES.get(dt, 4)
+        total += b
+        rows.append({"op": op, "dtype": dt, "shape": dims, "bytes": b})
+    return total, rows
+
+
+def scaling_report(n_devices: int, capacity: int = 65536,
+                   width: int = 256, height: int = 160,
+                   sh_degree: int = 3, strategy: str = "gspmd") -> Dict:
+    """Compile the sharded train step over an `n_devices` mesh and return
+    the accounting dict (also printable via __main__)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dnsplatter_tpu.data.synthetic import make_synthetic_scene
+    from dnsplatter_tpu.models.dn_model import ModelConfig
+    from dnsplatter_tpu.models.gaussians import init_from_points
+    from dnsplatter_tpu.ops.rasterize import RasterizeConfig
+    from dnsplatter_tpu.parallel.sharding import (
+        make_mesh, make_sharded_train_step, shard_gaussian_state,
+    )
+    from dnsplatter_tpu.train.optim import (
+        OptimConfig, init_adam, init_cam_opt,
+    )
+    from dnsplatter_tpu.train.strategy import init_stats
+
+    devs = jax.devices()[:n_devices]
+    if len(devs) < n_devices:
+        raise ValueError(
+            f"{n_devices} devices requested, {len(devs)} visible (set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N for a "
+            "virtual CPU mesh)"
+        )
+    mesh = make_mesh(devs)
+    scene = make_synthetic_scene(seed=0, n_gaussians=128, n_cameras=1,
+                                 width=width, height=height,
+                                 pair_capacity=1 << 12)
+    cam, batch = scene.get(0)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (min(capacity, 4096), 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (len(pts), 3)).astype(np.float32)
+    params, alive, _ = init_from_points(jax.random.PRNGKey(0), pts, cols,
+                                        sh_degree=sh_degree,
+                                        capacity=capacity)
+    adam = init_adam(params)
+    stats = init_stats(capacity)
+    params, alive, adam, stats = shard_gaussian_state(
+        mesh, params, alive, adam, stats
+    )
+    mc = ModelConfig(use_depth_loss=True, depth_lambda=0.2,
+                     use_normal_loss=True, sh_degree=sh_degree)
+    rc = RasterizeConfig(width=width, height=height, tile_size=16,
+                         chunk=32, tile_block=4, pair_capacity=1 << 12)
+    if strategy == "tile":
+        from dnsplatter_tpu.parallel.tile_sharding import (
+            make_tile_train_step,
+        )
+
+        fn = make_tile_train_step(mc, OptimConfig(), rc, sh_degree, mesh)
+    else:
+        fn = make_sharded_train_step(mc, OptimConfig(), rc, sh_degree, mesh)
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+    compiled = fn.lower(
+        params, alive, adam, stats, cam, batch_j,
+        jnp.asarray(0, jnp.int32), jax.random.PRNGKey(1),
+        init_cam_opt(1), jnp.asarray(0, jnp.int32),
+    ).compile()
+
+    state_bytes = int(sum(
+        np.prod(x.shape) * x.dtype.itemsize
+        for x in jax.tree.leaves((params, adam))
+    ))
+    coll_bytes, rows = collective_breakdown(compiled.as_text())
+    ma = compiled.memory_analysis()
+    report = {
+        "devices": n_devices,
+        "strategy": strategy,
+        "capacity": capacity,
+        "sh_degree": sh_degree,
+        "global_state_bytes": state_bytes,
+        "collective_bytes_per_step": coll_bytes,
+        "collective_fraction_of_state": (
+            coll_bytes / state_bytes if state_bytes else 0.0
+        ),
+        "per_device_argument_bytes": int(ma.argument_size_in_bytes),
+        "per_device_output_bytes": int(ma.output_size_in_bytes),
+        "per_device_temp_bytes": int(ma.temp_size_in_bytes),
+        "collectives": rows,
+    }
+    return report
+
+
+def _main() -> None:
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--devices", type=int, default=8)
+    p.add_argument("--capacity", type=int, default=65536)
+    p.add_argument("--sh-degree", type=int, default=3)
+    p.add_argument("--strategy", choices=("gspmd", "tile"),
+                   default="gspmd")
+    args = p.parse_args()
+    rep = scaling_report(args.devices, capacity=args.capacity,
+                         sh_degree=args.sh_degree, strategy=args.strategy)
+    rows = rep.pop("collectives")
+    print(json.dumps(rep, indent=2))
+    agg: Dict[Tuple[str, str], Tuple[int, int]] = {}
+    for r in rows:
+        k = (r["op"], r["dtype"])
+        n, b = agg.get(k, (0, 0))
+        agg[k] = (n + 1, b + r["bytes"])
+    print(f"{'collective':<20} {'dtype':<6} {'count':>5} {'bytes':>12}")
+    for (op, dt), (n, b) in sorted(agg.items(), key=lambda kv: -kv[1][1]):
+        print(f"{op:<20} {dt:<6} {n:>5} {b:>12}")
+
+
+if __name__ == "__main__":
+    _main()

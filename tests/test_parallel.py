@@ -264,26 +264,12 @@ def test_trainer_dp_mode_end_to_end(mesh8):
 
 
 def _collective_output_bytes(hlo_text):
-    """Total bytes moved by cross-device collectives in compiled HLO."""
-    import re
+    """Total bytes moved by cross-device collectives in compiled HLO
+    (shared with the user-facing utils/scaling.py report)."""
+    from dnsplatter_tpu.utils.scaling import collective_breakdown
 
-    dt_bytes = {"f32": 4, "s32": 4, "u32": 4, "pred": 1, "f16": 2,
-                "bf16": 2, "s8": 1, "u8": 1, "f64": 8, "s64": 8}
-    total = 0
-    ops = []
-    for m in re.finditer(
-        r"=\s*([a-z0-9]+)\[([0-9,]*)\][^=]*?\s"
-        r"(all-gather|all-reduce|reduce-scatter|collective-permute|"
-        r"all-to-all)\(", hlo_text,
-    ):
-        dt, dims, op = m.group(1), m.group(2), m.group(3)
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        total += n * dt_bytes.get(dt, 4)
-        ops.append((op, dt, dims))
-    return total, ops
+    total, rows = collective_breakdown(hlo_text)
+    return total, [(r["op"], r["dtype"], r["shape"]) for r in rows]
 
 
 def test_gspmd_sharded_step_collectives_are_bounded(mesh8):

@@ -306,10 +306,15 @@ def _expand_segments_stream(
 ) -> jax.Array:
     """expand_segments for N past VMEM residency (see docstring there)."""
     r, n = vals.shape
+    # The value-block DMA slices the (R, n_pad) table along the SUBLANE
+    # axis: Mosaic only allows sublane slice sizes of 1/2/4 or multiples
+    # of the (8, 128) tiling, so pad the row count up to the next legal
+    # size (zero rows stream along and are dropped at the end).
+    rp = r if r in (1, 2, 4) else -(-r // 8) * 8
     n_pad = -(-(n + 1) // win) * win + wb  # block DMAs may overrun by < wb
     cp = -(-out_len // chunk) * chunk
     nchunks = cp // chunk
-    vals_p = jnp.pad(vals, ((0, 0), (0, n_pad - n))).astype(jnp.float32)
+    vals_p = jnp.pad(vals, ((0, rp - r), (0, n_pad - n))).astype(jnp.float32)
     big = jnp.int32(2147483647)
     s_p = jnp.concatenate([starts[:-1], jnp.full((n_pad - n,), big)])
     e_p = jnp.concatenate([starts[1:], jnp.full((n_pad - n,), big)])
@@ -319,7 +324,7 @@ def _expand_segments_stream(
     base = (glo // win) * win
     nwin = jnp.maximum(-(-(jnp.maximum(ghi - base, 0)) // win), 0)
     out = pl.pallas_call(
-        _make_expand_stream_kernel(r, chunk, wb, win, out_dtype),
+        _make_expand_stream_kernel(rp, chunk, wb, win, out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nchunks,),
@@ -330,16 +335,16 @@ def _expand_segments_stream(
                 pl.BlockSpec((1, n_pad), lambda j, s1, s2: (0, 0),
                              memory_space=pltpu.VMEM),  # ends (resident)
             ],
-            out_specs=[pl.BlockSpec((r, chunk), lambda j, s1, s2: (0, j))],
+            out_specs=[pl.BlockSpec((rp, chunk), lambda j, s1, s2: (0, j))],
             scratch_shapes=[
-                pltpu.VMEM((r, wb), jnp.float32),
+                pltpu.VMEM((rp, wb), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=[jax.ShapeDtypeStruct((r, cp), out_dtype)],
+        out_shape=[jax.ShapeDtypeStruct((rp, cp), out_dtype)],
         interpret=_interpret(),
     )(base, nwin, vals_p, s_p[None, :], e_p[None, :])[0]
-    return out[:, :out_len]
+    return out[:r, :out_len]
 
 
 def _chunk_geometry(pay, px, py, jj, cnt):

@@ -95,7 +95,10 @@ class RasterizeConfig(NamedTuple):
     # at the bench scene the cull rate is only ~11% (the opacity-aware
     # tight AABBs already cut most corner waste) and the test's binning
     # cost (+6 expanded rows + a searchsorted) outweighs the kernel
-    # savings; enable for heavy-overdraw / strongly anisotropic scenes.
+    # savings — re-measured round 3 (perf/tpu_cull_ab.py): ON loses
+    # 0.3 ms/frame at N=100k and 4.5 ms at N=1M (the streamed 11-row
+    # expand pads to 16 rows). Enable only for heavy-overdraw /
+    # strongly anisotropic scenes.
     exact_cull: bool = False
     # Binning sort scheme:
     #   "packed"  — ONE int32 key `tile * (N+1) + gauss`; the sorted keys

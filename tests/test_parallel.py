@@ -389,3 +389,17 @@ def test_tile_sharded_train_step_matches_single_device(mesh8):
     np.testing.assert_allclose(np.asarray(ts_.grad_sum),
                                np.asarray(rs_.grad_sum),
                                rtol=5e-4, atol=1e-7)
+
+
+def test_scaling_report_compiles_and_accounts(mesh8):
+    """utils/scaling.py: the pre-flight multi-chip audit compiles the
+    sharded step and reports collective bytes + per-device memory."""
+    from dnsplatter_tpu.utils.scaling import scaling_report
+
+    rep = scaling_report(8, capacity=4096, sh_degree=1, width=64, height=64)
+    assert rep["devices"] == 8
+    assert rep["global_state_bytes"] > 0
+    assert rep["per_device_argument_bytes"] < rep["global_state_bytes"]
+    # the Gaussian-axis layout keeps collectives far below state size
+    assert rep["collective_fraction_of_state"] < 0.125
+    assert isinstance(rep["collectives"], list)

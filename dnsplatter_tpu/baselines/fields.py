@@ -13,8 +13,11 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-PRIMES = jnp.array([1, 2654435761, 805459861], jnp.uint32)
+# numpy on purpose: module-level jnp arrays initialize the JAX backend at
+# import time (breaks jax.distributed.initialize ordering on multi-host).
+PRIMES = np.array([1, 2654435761, 805459861], np.uint32)
 
 
 @dataclasses.dataclass(frozen=True)

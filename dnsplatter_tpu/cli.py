@@ -107,6 +107,15 @@ def cmd_train(argv):
             train_cfg, max_iterations=args.max_iterations
         )
 
+    if train_cfg.distributed or train_cfg.dp > 1:
+        # Multi-process bring-up must precede ANY backend initialization
+        # (dataset loading and the trainer's pair-capacity audit run JAX
+        # computations; jax.distributed.initialize rejects a live
+        # backend). Idempotent — the Trainer re-uses this context.
+        from dnsplatter_tpu.parallel import distributed as D
+
+        D.init_distributed()
+
     parser_cfg = (build_dataclass(parser_cls, args, "parser",
                                   parser_cls(data=args.data))
                   if parser_cls else None)

@@ -27,6 +27,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dnsplatter_tpu.models import losses as L
 
@@ -41,10 +42,13 @@ def _conv2d_same(img: jax.Array, kernel: jax.Array) -> jax.Array:
     return jnp.transpose(out[:, 0], (1, 2, 0))
 
 
-_LAPLACIAN = jnp.array(
-    [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], jnp.float32
+# numpy on purpose: module-level jnp arrays would initialize the JAX
+# backend at import time, which must not happen before
+# jax.distributed.initialize on a multi-host launch (parallel/distributed).
+_LAPLACIAN = np.array(
+    [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], np.float32
 )
-_CROSS = jnp.ones((3, 3), jnp.float32)
+_CROSS = np.ones((3, 3), np.float32)
 
 
 def find_edges(im: jax.Array, threshold: float = 0.01, dilation_itr: int = 1) -> jax.Array:

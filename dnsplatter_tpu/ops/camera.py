@@ -24,9 +24,13 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Right-multiply a c2w by this to flip OpenGL <-> OpenCV camera axes.
-GL_TO_CV = jnp.diag(jnp.array([1.0, -1.0, -1.0, 1.0]))
+# numpy on purpose: a module-level jnp array would initialize the JAX
+# backend at import time — too early for jax.distributed.initialize on
+# multi-host launches.
+GL_TO_CV = np.diag(np.array([1.0, -1.0, -1.0, 1.0], np.float32))
 
 
 @jax.tree_util.register_dataclass

@@ -162,6 +162,34 @@ def put_dp(mesh: Mesh, x, dp_axis: str = "dp"):
     return jax.make_array_from_process_local_data(sh, local)
 
 
+def host_local_value(x) -> np.ndarray:
+    """Materialize a (possibly global) array on THIS host, shard-wise.
+
+    Multi-host checkpointing helper: `np.asarray` refuses global arrays
+    that are not fully addressable. Under the hybrid (dp, gauss) layout
+    every state array is replicated across hosts (dp axis) and at most
+    sharded over the host-local `gauss` axis, so this process's
+    addressable shards always cover the full global shape — assemble
+    them directly, with no cross-host traffic. Raises if coverage is
+    incomplete (a purely cross-host sharding would need a gather)."""
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)
+    if x.is_fully_addressable or x.is_fully_replicated:
+        return np.asarray(x)
+    out = np.empty(x.shape, x.dtype)
+    covered = np.zeros(x.shape, bool)
+    for s in x.addressable_shards:
+        out[s.index] = np.asarray(s.data)
+        covered[s.index] = True
+    if not covered.all():
+        raise ValueError(
+            "host-local shards do not cover the global array "
+            f"(shape {x.shape}, sharding {x.sharding}); checkpointing "
+            "this layout requires a cross-host gather"
+        )
+    return out
+
+
 def shard_state_hybrid(mesh: Mesh, params, alive, adam, stats,
                        gauss_axis: str = "gauss"):
     """Gaussian state: capacity axis sharded over `gauss`, replicated

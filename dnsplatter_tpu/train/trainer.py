@@ -720,22 +720,29 @@ class Trainer:
     # -- checkpointing (orbax-free npz: state is a flat dict of arrays) --
 
     def save_checkpoint(self, path: Optional[Path] = None) -> Path:
+        # host_local_value (not np.asarray): on a true multi-host run the
+        # state is gauss-sharded within each host; np.asarray refuses
+        # such non-fully-addressable global arrays.
+        from dnsplatter_tpu.parallel.distributed import (
+            host_local_value as asnp,
+        )
+
         path = path or (self.out_dir / f"ckpt_{self.step:06d}.npz")
         path.parent.mkdir(parents=True, exist_ok=True)
         flat = {
-            f"params.{f}": np.asarray(getattr(self.params, f))
+            f"params.{f}": asnp(getattr(self.params, f))
             for f in self.params.__dataclass_fields__
         }
-        flat["alive"] = np.asarray(self.alive)
+        flat["alive"] = asnp(self.alive)
         flat["step"] = np.asarray(self.step)
         for f in CamOptState._fields:
-            flat[f"cam_opt.{f}"] = np.asarray(getattr(self.cam_opt, f))
-        flat["cam_adj"] = np.asarray(self.cam_opt.adj)  # back-compat alias
+            flat[f"cam_opt.{f}"] = asnp(getattr(self.cam_opt, f))
+        flat["cam_adj"] = asnp(self.cam_opt.adj)  # back-compat alias
         for f in self.adam.mu.__dataclass_fields__:
-            flat[f"adam.mu.{f}"] = np.asarray(getattr(self.adam.mu, f))
-            flat[f"adam.nu.{f}"] = np.asarray(getattr(self.adam.nu, f))
-            flat[f"adam.count.{f}"] = np.asarray(getattr(self.adam.count, f))
-            flat[f"adam.accum.{f}"] = np.asarray(getattr(self.adam.accum, f))
+            flat[f"adam.mu.{f}"] = asnp(getattr(self.adam.mu, f))
+            flat[f"adam.nu.{f}"] = asnp(getattr(self.adam.nu, f))
+            flat[f"adam.count.{f}"] = asnp(getattr(self.adam.count, f))
+            flat[f"adam.accum.{f}"] = asnp(getattr(self.adam.accum, f))
         np.savez_compressed(path, **flat)
         meta = dataclasses.asdict(self.model_cfg)
         (path.parent / "config.json").write_text(json.dumps(meta, indent=2))

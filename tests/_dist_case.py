@@ -77,8 +77,13 @@ def build_case(dp: int, devices: Optional[Sequence[jax.Device]] = None) -> Case:
     params, alive, adam, stats = D.shard_state_hybrid(
         mesh, params, alive, adam, stats
     )
+    # camera_optimizer_mode ON: the pose-opt state update (replicated
+    # CamOptState + batched scatter-add of per-frame tangent grads) is
+    # the one training component that must be process-count-agnostic —
+    # exercise it across dp ranks.
     model_cfg = ModelConfig(use_depth_loss=True, depth_lambda=0.2,
-                            use_normal_loss=True, sh_degree=1)
+                            use_normal_loss=True, sh_degree=1,
+                            camera_optimizer_mode="SO3xR3")
     raster_cfg = RasterizeConfig(width=WIDTH, height=HEIGHT, tile_size=16,
                                  chunk=16, tile_block=2,
                                  pair_capacity=PAIR_CAPACITY)
@@ -112,7 +117,7 @@ def run_dp_step(case: Case, frame_indices: List[int]):
     step_fn = D.make_dp_train_step(
         case.model_cfg, case.optim_cfg, case.raster_cfg, 1, mesh
     )
-    new_params, _, _, loss, _ = step_fn(
+    new_params, _, _, loss, new_cam = step_fn(
         case.params, case.alive, case.adam, case.stats, cam_g, batch_g,
         step, keys, cam_state, frame_idx,
     )
@@ -122,4 +127,7 @@ def run_dp_step(case: Case, frame_indices: List[int]):
     means_host = D.host_local_value(new_params.means)
     assert means_host.shape == (CAPACITY, 3)
     means_sum = float(np.sum(np.abs(means_host)))
-    return jax.device_get(loss), means_sum
+    # Pose-opt accumulators pick up each dp rank's frame gradient via the
+    # batched scatter-add — replicated output, must agree across ranks.
+    cam_sum = float(np.sum(np.abs(D.host_local_value(new_cam.accum))))
+    return jax.device_get(loss), means_sum, cam_sum

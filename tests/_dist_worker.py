@@ -51,13 +51,14 @@ def run(coordinator: str, num_procs: int, rank: int) -> dict:
     # Host-local data: this rank loads only its own frame shard.
     local = D.host_local_indices(num_procs, ctx)
     assert local == [rank], local
-    loss, means_sum = run_dp_step(case, frame_indices=local)
+    loss, means_sum, cam_sum = run_dp_step(case, frame_indices=local)
     return {
         "rank": rank,
         "process_count": ctx.process_count,
         "is_main": ctx.is_main,
         "loss": float(loss),
         "means_sum": float(means_sum),
+        "cam_sum": float(cam_sum),
     }
 
 

@@ -28,6 +28,33 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "_dist_worker.py")
 
 
+def test_package_import_is_backend_free():
+    """Importing the package must NOT initialize a JAX backend:
+    jax.distributed.initialize (multi-host bring-up) must be callable
+    after `import dnsplatter_tpu...` (cli.py imports the world before
+    the Trainer runs). Module-level jnp constants break this."""
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+        "import dnsplatter_tpu.cli\n"
+        "import dnsplatter_tpu.parallel.distributed\n"
+        "import dnsplatter_tpu.train.trainer\n"
+        "import dnsplatter_tpu.eval.evaluator\n"
+        "import dnsplatter_tpu.mesh.exporters\n"
+        "import dnsplatter_tpu.baselines.fields\n"
+        "from jax._src import xla_bridge\n"
+        "import sys\n"
+        "sys.exit(1 if xla_bridge._backends else 0)\n"
+    )
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, (
+        f"package import initialized a JAX backend (or failed):\n"
+        f"{proc.stdout}\n{proc.stderr}"
+    )
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -76,6 +103,10 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
     assert results[0]["means_sum"] == pytest.approx(
         results[1]["means_sum"], abs=0.0
     )
+    assert results[0]["cam_sum"] == pytest.approx(
+        results[1]["cam_sum"], abs=0.0
+    )
+    assert results[0]["cam_sum"] > 0.0  # pose-opt grads actually landed
 
     # DDP equivalence: the degenerate single-process run of the SAME
     # step on a (dp=2, gauss=2) mesh built from 4 of this process's
@@ -86,8 +117,10 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
     import _dist_case
 
     case = _dist_case.build_case(dp=2, devices=jax.devices()[:4])
-    loss_ref, means_ref = _dist_case.run_dp_step(case, [0, 1])
+    loss_ref, means_ref, cam_ref = _dist_case.run_dp_step(case, [0, 1])
     np.testing.assert_allclose(results[0]["loss"], float(loss_ref),
                                rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(results[0]["means_sum"], float(means_ref),
                                rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(results[0]["cam_sum"], float(cam_ref),
+                               rtol=2e-5, atol=1e-8)

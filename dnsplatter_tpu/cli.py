@@ -114,7 +114,7 @@ def cmd_train(argv):
         # backend). Idempotent — the Trainer re-uses this context.
         from dnsplatter_tpu.parallel import distributed as D
 
-        D.init_distributed()
+        D.init_distributed(require_multiprocess=train_cfg.distributed)
 
     parser_cfg = (build_dataclass(parser_cls, args, "parser",
                                   parser_cls(data=args.data))

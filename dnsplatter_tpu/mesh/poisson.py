@@ -114,6 +114,18 @@ def _solve_poisson_cg(vfield: jnp.ndarray, sigma_vox: float,
     bandwidth-bound on TPU)."""
     from jax.scipy.sparse.linalg import cg
 
+    b = _cg_rhs(vfield, sigma_vox)
+
+    def matvec(x):
+        return -(_laplacian(x) - screening * x)
+
+    x, _ = cg(matvec, -b, tol=tol, maxiter=maxiter)
+    return x
+
+
+def _cg_rhs(vfield: jnp.ndarray, sigma_vox: float) -> jnp.ndarray:
+    """div(smooth(V)) — the CG right-hand side (shared with the residual
+    reporter perf/tpu_poisson_scale.py)."""
     # separable smoothing: repeated [1,2,1]/4 passes approximate a
     # gaussian with sigma^2 = reps/2 per axis
     reps = max(int(round(2.0 * sigma_vox * sigma_vox)), 0)
@@ -140,13 +152,19 @@ def _solve_poisson_cg(vfield: jnp.ndarray, sigma_vox: float,
         return 0.5 * (jax.lax.slice_in_dim(p, 2, n + 2, axis=axis)
                       - jax.lax.slice_in_dim(p, 0, n, axis=axis))
 
-    b = cdiff(v[..., 0], 0) + cdiff(v[..., 1], 1) + cdiff(v[..., 2], 2)
+    return (cdiff(v[..., 0], 0) + cdiff(v[..., 1], 1)
+            + cdiff(v[..., 2], 2))
 
-    def matvec(x):
-        return -(_laplacian(x) - screening * x)
 
-    x, _ = cg(matvec, -b, tol=tol, maxiter=maxiter)
-    return x
+@functools.partial(jax.jit, static_argnames=("sigma_vox",))
+def cg_residual(vfield: jnp.ndarray, chi: jnp.ndarray, sigma_vox: float,
+                screening: float) -> jnp.ndarray:
+    """Relative residual ||(lap - screening) chi - div(smooth V)|| /
+    ||div(smooth V)|| of a CG solution (recorded-run validation)."""
+    b = _cg_rhs(vfield, sigma_vox)
+    r = (_laplacian(chi) - screening * chi) - b
+    return jnp.linalg.norm(r.ravel()) / jnp.maximum(
+        jnp.linalg.norm(b.ravel()), 1e-12)
 
 
 def poisson_reconstruct(

@@ -220,20 +220,41 @@ class SparseTSDF:
             f17[dst] = field[ns[sel]][:, sx, sy, sz]
             o17[dst] = observed[ns[sel]][:, sx, sy, sz]
 
+        # Batched extraction: bricks with a sign change are concatenated
+        # along x with one UNOBSERVED gap sample between them, so one
+        # marching call (native C++ fast path) covers ~2k bricks at a
+        # time. The observed-cube filter drops every cell that straddles
+        # a gap column (its corners are unobserved), which makes the
+        # batched output exactly the union of the per-brick extractions
+        # — measured ~50x faster than the per-brick Python loop at room
+        # scale (perf/room_tsdf_scale.py: 53k bricks).
+        signchange = np.logical_and(
+            (f17 < 0).any(axis=(1, 2, 3)), (f17 >= 0).any(axis=(1, 2, 3))
+        )
+        cand = np.nonzero(signchange)[0]
         all_v, all_f, all_c = [], [], []
         voff = 0
-        for s in range(n):
-            # skip bricks with no sign change (fast reject)
-            blk = f17[s]
-            if (blk >= 0).all() or (blk < 0).all():
-                continue
-            v, f = marching_tetrahedra(blk, level=0.0)
-            v, f, _ = filter_faces_to_observed(v, f, o17[s])
+        stride = b + 2  # (b+1) samples + 1 gap sample per brick
+        batch = max(1, (1 << 21) // ((b + 1) * (b + 1) * stride))
+        for s0 in range(0, len(cand), batch):
+            sel = cand[s0:s0 + batch]
+            m = len(sel)
+            fcat = np.ones((m * stride, b + 1, b + 1), np.float32)
+            ocat = np.zeros((m * stride, b + 1, b + 1), bool)
+            xs = (np.arange(m) * stride)[:, None] + np.arange(b + 1)[None, :]
+            fcat[xs.reshape(-1)] = f17[sel].reshape(-1, b + 1, b + 1)
+            ocat[xs.reshape(-1)] = o17[sel].reshape(-1, b + 1, b + 1)
+            v, f = marching_tetrahedra(fcat, level=0.0)
+            v, f, _ = filter_faces_to_observed(v, f, ocat)
             if len(v) == 0:
                 continue
-            vi = np.clip(np.round(v).astype(int), 0, b - 1)
-            all_c.append(cols[s, vi[:, 0], vi[:, 1], vi[:, 2]])
-            all_v.append(v + keys[s].astype(np.float64) * b)
+            bi = np.minimum((v[:, 0] // stride).astype(np.int64), m - 1)
+            local = v.copy()
+            local[:, 0] -= bi * stride
+            vi = np.clip(np.round(local).astype(int), 0, b - 1)
+            gsel = sel[bi]
+            all_c.append(cols[gsel, vi[:, 0], vi[:, 1], vi[:, 2]])
+            all_v.append(local + keys[gsel].astype(np.float64) * b)
             all_f.append(f + voff)
             voff += len(v)
         if not all_v:

@@ -116,6 +116,19 @@ class RasterizeConfig(NamedTuple):
     #   "auto"    — packed when it fits in int32, else packed32 when it
     #               fits in uint32, else tilekey.
     sort_scheme: str = "auto"
+    # Piecewise gradient-reduction sort (pallas sortpack only): split the
+    # per-pair gradient slab at KP pair-balanced TILE boundaries, sort
+    # each piece independently, and reduce all pieces in one multi-range
+    # kernel pass. The XLA sort is superlinear in length (key+7 rows:
+    # 9.5 ms at C/4 vs 43.8 ms at C=5.24M, perf/tpu_r4_probe3.py), so
+    # 4 quarter-sorts cost ~26 ms — exactness is preserved because every
+    # piece boundary is a tile boundary (per-gaussian per-piece pair
+    # counts are closed-form from the tile bboxes) and a runtime
+    # `piece_ok` cond falls back to the monolithic sort when a piece
+    # overflows its static capacity. 0 = auto: 4 pieces when
+    # pair_capacity >= 2^22, else 1 (the split overhead only pays at
+    # multi-M pair counts).
+    reduce_pieces: int = 0
 
     @property
     def tiles_x(self) -> int:
@@ -136,6 +149,21 @@ class RasterizeConfig(NamedTuple):
     @property
     def n_tiles_padded(self) -> int:
         return self.n_blocks * self.tile_block
+
+    @property
+    def n_reduce_pieces(self) -> int:
+        if self.reduce_pieces:
+            return self.reduce_pieces
+        return 4 if self.pair_capacity >= (1 << 22) else 1
+
+    @property
+    def piece_capacity(self) -> int:
+        """Static per-piece slab capacity: balanced share + one-tile
+        slack (boundaries are searchsorted to ~equal pair counts; the
+        residual imbalance is at most a single tile's pair count)."""
+        kp = self.n_reduce_pieces
+        cap = self.pair_capacity // kp + 65536
+        return -(-cap // self.chunk) * self.chunk
 
     @property
     def pair_buffer(self) -> int:
@@ -174,6 +202,13 @@ class _Binned(NamedTuple):
     #     the gradient-reduction sort keyed on pair_orig
     spatial_perm: jax.Array  # (N,) grouping order of gauss_starts (identity)
     total_pairs: jax.Array  # () int32 — raw total (overflow diagnostic)
+    piece_bounds: jax.Array  # (KP + 1,) slab offsets of the reduction
+    #     pieces (tile-boundary-aligned, pair-balanced); [0, total] when
+    #     KP == 1
+    piece_starts: jax.Array  # (KP, N + 1) piece-LOCAL per-original-
+    #     gaussian segment starts (== orig_starts[None] when KP == 1)
+    piece_ok: jax.Array  # () bool — every piece fits piece_capacity
+    #     (the backward cond-falls back to the monolithic sort if not)
 
 
 def _exclusive_cumprod(x: jax.Array, axis: int) -> jax.Array:
@@ -567,6 +602,53 @@ def bin_gaussians(
          jnp.cumsum(counts_orig).astype(jnp.int32)]
     )
 
+    # Piecewise-reduction structure: KP pair-balanced tile-boundary
+    # pieces. Per-original-gaussian counts inside a tile-id interval are
+    # closed-form from the bbox (full rows below the boundary row plus
+    # the boundary row's column overlap) — exactly the slots the CSR
+    # materializes, including culled (sentinel-gauss) slots, masked to
+    # zero for overflow-dropped gaussians via counts_orig.
+    kp = cfg.n_reduce_pieces
+    if kp > 1:
+        targets = (jnp.arange(1, kp, dtype=jnp.int32)
+                   * jnp.int32(c // kp))
+        tj = jnp.searchsorted(starts, targets, side="left").astype(jnp.int32)
+        tjf = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32), tj,
+            jnp.full((1,), t_pad, jnp.int32),
+        ])
+        piece_bounds = starts[tjf]  # (KP + 1,)
+
+        emitted = counts_orig > 0
+
+        def cnt_lt(bnd):
+            rb = bnd // cfg.tiles_x
+            cb = bnd % cfg.tiles_x
+            wu = jnp.maximum(x1u - x0u, 0)
+            full = wu * jnp.clip(jnp.minimum(y1u, rb) - y0u, 0, None)
+            part = jnp.where(
+                (y0u <= rb) & (rb < y1u),
+                jnp.clip(jnp.minimum(x1u, cb) - x0u, 0, None), 0,
+            )
+            return jnp.where(emitted, full + part, 0).astype(jnp.int32)
+
+        cls = [cnt_lt(tjf[j]) for j in range(kp + 1)]
+        piece_counts = jnp.stack(
+            [cls[j + 1] - cls[j] for j in range(kp)], axis=0
+        )  # (KP, N)
+        piece_starts = jnp.concatenate([
+            jnp.zeros((kp, 1), jnp.int32),
+            jnp.cumsum(piece_counts, axis=1).astype(jnp.int32),
+        ], axis=1)
+        piece_len = piece_bounds[1:] - piece_bounds[:-1]
+        piece_ok = jnp.all(piece_len <= cfg.piece_capacity)
+    else:
+        piece_bounds = jnp.stack(
+            [jnp.zeros((), jnp.int32), starts[-1]]
+        )
+        piece_starts = orig_starts[None, :]
+        piece_ok = jnp.ones((), bool)
+
     return _Binned(
         order=order,
         pair_gauss=pair_gauss,
@@ -577,6 +659,9 @@ def bin_gaussians(
         orig_starts=orig_starts,
         spatial_perm=spatial_perm,
         total_pairs=total_raw,
+        piece_bounds=piece_bounds,
+        piece_starts=piece_starts,
+        piece_ok=piece_ok,
     )
 
 
@@ -802,12 +887,24 @@ def _raster_fwd_pallas(cfg, binned, fields_s, f, n):
             "slices"
         )
 
-    # ONE (N+1, 16) row gather then a field-major transpose: Mosaic's
+    # ONE (N+1, 6+F) row gather then a field-major transpose: Mosaic's
     # VMEM/HBM memrefs are 128-lane tiled, so the per-chunk DMA must
     # slice 128 LANES — the pair axis has to be minor. Row N of the field
-    # table is zeros, the landing slot for dummy/alignment pairs.
-    fields = jnp.concatenate([fields_s, jnp.zeros((1, rp.PW), jnp.float32)])
-    payload = fields[binned.pair_gauss].T  # (PW, C_al)
+    # table is zeros, the landing slot for dummy/alignment pairs. Only
+    # the rows the kernels read are gathered (the C-scale gather has a
+    # per-byte cost component above ~8 f32 rows: w16 ≈ 30 ms vs w8 ≈
+    # 21 ms materialized at C=5.24M, perf/tpu_r4_probe2.py — the table's
+    # radii/validf rows are binning-only and stay at N scale).
+    pw = 6 + f
+    # Mosaic DMAs need 8-aligned sublane extents: the gather stays at
+    # 6+F columns (the cost saving), the zero-pad up to the next
+    # multiple of 8 fuses into the transpose write.
+    pw_pad = -(-pw // 8) * 8
+    fields = jnp.concatenate(
+        [fields_s[:, :pw], jnp.zeros((1, pw), jnp.float32)]
+    )
+    rows = fields[binned.pair_gauss]  # (C_al, 6+F)
+    payload = jnp.pad(rows, ((0, 0), (0, pw_pad - pw))).T  # (PWpad, C_al)
     out_t, tfin_t, last_t = rp.forward_tiles(
         payload, binned.starts, binned.counts, cfg.n_tiles_padded, f,
         cfg.tile_size, cfg.tiles_x, cfg.chunk,
@@ -1029,37 +1126,77 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
     )
 
     if pack_grads:
-        # Per-Gaussian reduction via ONE variadic sort keyed on each
-        # pair's ORIGINAL gaussian id + the MXU reduce_segments_packed
-        # kernel. The backward kernel already emitted the 6 + F live
-        # gradient rows bf16-packed two-per-int32 lane (in-kernel RNE),
-        # so the sort carries ceil((6+F)/2) int32 rows instead of 16 f32
-        # rows — measured 13.5 ms total vs 31 ms for the direct
-        # segment-sum at 1.9M pairs (perf/tpu_micro5.py). Keys are
-        # pair_orig (dummies carry the sentinel N and land past
-        # starts[-1]); binned.orig_starts delimits each ORIGINAL
-        # gaussian's contiguous segment, so the reduced rows come out
-        # directly in original parameter order — the former N-scale
-        # 15-column un-permute sort (8.9 ms at N=1M) is gone. Culled
-        # pairs keep their real id but exact-zero values, and unreplayed
-        # slots read zeros too (the slab aliases a zero-filled buffer).
-        # |dmx|,|dmy| (absgrad) are derived in the reduce kernel.
+        # Per-Gaussian reduction via variadic sort(s) keyed on each
+        # pair's ORIGINAL gaussian id + the MXU reduce_segments kernels.
+        # The backward kernel already emitted the 6 + F live gradient
+        # rows bf16-packed two-per-int32 lane (in-kernel RNE), so the
+        # sort carries ceil((6+F)/2) int32 rows instead of 16 f32 rows.
+        # Keys are pair_orig (dummies carry the sentinel N and land past
+        # starts[-1]); segment boundaries delimit each ORIGINAL
+        # gaussian's contiguous range, so the reduced rows come out
+        # directly in original parameter order. Culled pairs keep their
+        # real id but exact-zero values, and unreplayed slots read zeros
+        # too (the slab aliases a zero-filled buffer). |dmx|,|dmy|
+        # (absgrad) are derived in the reduce kernel.
+        #
+        # KP > 1: the slab splits at pair-balanced TILE boundaries and
+        # each piece sorts independently — the XLA sort is superlinear
+        # in length (key+7: 9.5 ms at C/4 vs 43.8 ms at C = 5.24M,
+        # perf/tpu_r4_probe3.py), so 4 quarter-sorts + one multi-range
+        # reduce pass beat the monolithic sort by ~15 ms/frame at N=1M.
+        # Exact: piece boundaries are tile boundaries, per-piece segment
+        # starts are closed-form (bin_gaussians), and a piece that
+        # overflows its static capacity falls back to the monolithic
+        # path at runtime (lax.cond on piece_ok).
         nlive = 6 + f
         rows_used = (nlive + 1) // 2
-        sorted_out = jax.lax.sort(
-            (binned.pair_orig,) + tuple(grads[i] for i in range(rows_used)),
-            num_keys=1,
-        )
-        slab = jnp.stack(sorted_out[1:], axis=0)  # (PR, C_al) int32
-        # reduce_segments streams `chunk`-wide lane slices; guarantee
-        # in-bounds reads past starts[-1] even when total == capacity.
-        slab = jnp.pad(slab, ((0, 0), (0, 512)))
-        # decode + abs happen inside the kernel (exact bf16->f32 via
-        # bits << 16); no XLA unpack/stack pass, half the DMA bytes.
-        per = rp.reduce_segments_packed(slab, binned.orig_starts, n)
-        fields = per[:nlive]
-        absr = per[-2:]
-        out = jnp.concatenate([fields, absr], axis=0)[:, :n].T
+        kp = cfg.n_reduce_pieces
+
+        def reduce_mono(grads):
+            sorted_out = jax.lax.sort(
+                (binned.pair_orig,)
+                + tuple(grads[i] for i in range(rows_used)),
+                num_keys=1,
+            )
+            slab = jnp.stack(sorted_out[1:], axis=0)  # (PR, C_al) int32
+            # reduce_segments streams `chunk`-wide lane slices; keep
+            # reads past starts[-1] in bounds even at full capacity.
+            slab = jnp.pad(slab, ((0, 0), (0, 512)))
+            per = rp.reduce_segments_packed(slab, binned.orig_starts, n)
+            return jnp.concatenate([per[:nlive], per[-2:]], axis=0)[:, :n]
+
+        def reduce_pieces(grads):
+            cp = cfg.piece_capacity
+            pj = binned.piece_bounds
+            gpad = jnp.pad(grads, ((0, 0), (0, cp)))
+            kpad = jnp.pad(binned.pair_orig, (0, cp), constant_values=n)
+            lane = jnp.arange(cp, dtype=jnp.int32)
+            pieces = []
+            for j in range(kp):
+                lenj = pj[j + 1] - pj[j]
+                kj = jax.lax.dynamic_slice(kpad, (pj[j],), (cp,))
+                kj = jnp.where(lane < lenj, kj, n)
+                slj = jax.lax.dynamic_slice(
+                    gpad, (0, pj[j]), (rows_used, cp)
+                )
+                outs = jax.lax.sort(
+                    (kj,) + tuple(slj[i] for i in range(rows_used)),
+                    num_keys=1,
+                )
+                pieces.append(jnp.stack(outs[1:], axis=0))
+            packed = jnp.pad(jnp.stack(pieces, axis=0),
+                             ((0, 0), (0, 0), (0, 512)))
+            per = rp.reduce_segments_packed_multi(
+                packed, binned.piece_starts, n, blk=256
+            )
+            return jnp.concatenate([per[:nlive], per[-2:]], axis=0)[:, :n]
+
+        if kp > 1:
+            outp = jax.lax.cond(binned.piece_ok, reduce_pieces,
+                                reduce_mono, grads)
+        else:
+            outp = reduce_mono(grads)
+        out = outp.T
     else:
         # Exact f32 path: one segment-sum keyed by the original gaussian
         # ids (dummies land in the dropped N bucket) — output is already

@@ -184,11 +184,15 @@ def _make_expand_stream_kernel(r: int, ch: int, wb: int, win: int,
                                out_dtype=jnp.int32):
     """Large-N expand: the boundary tables stay VMEM-resident, but the
     value table is streamed from HBM in `wb`-Gaussian blocks as each
-    output chunk's window sweep needs them (monotone access)."""
+    output chunk's window sweep needs them (monotone access). The block
+    DMAs are double-buffered: the serial start()/wait() formulation
+    stalled every block on HBM latency and cost ~14 ms/frame at N=1M
+    (perf/tpu_r4_probe2.py); prefetching block si+1 behind block si's
+    window matmuls hides it."""
     wpb = wb // win
 
     def kernel(base_sref, nwin_sref, vals_hbm, s_ref, e_ref, out_ref,
-               vals_vmem, sem):
+               vals_vmem, sems):
         j = pl.program_id(0)
         p0 = j * ch
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1) + p0
@@ -196,13 +200,26 @@ def _make_expand_stream_kernel(r: int, ch: int, wb: int, win: int,
         nw = nwin_sref[j]
         nblk = pl.cdiv(nw, wpb)
 
-        def blk(si, acc):
+        def dma(slot, si):
             b0 = pl.multiple_of(base + si * wb, win)
-            cp = pltpu.make_async_copy(
-                vals_hbm.at[:, pl.ds(b0, wb)], vals_vmem, sem
+            return pltpu.make_async_copy(
+                vals_hbm.at[:, pl.ds(b0, wb)], vals_vmem.at[slot],
+                sems.at[slot],
             )
-            cp.start()
-            cp.wait()
+
+        @pl.when(nblk > 0)
+        def _():
+            dma(0, 0).start()
+
+        def blk(si, acc):
+            slot = si % 2
+
+            @pl.when(si + 1 < nblk)
+            def _():
+                dma((si + 1) % 2, si + 1).start()
+
+            dma(slot, si).wait()
+            b0 = pl.multiple_of(base + si * wb, win)
             nw_here = jnp.minimum(nw - si * wpb, wpb)
 
             def wbody(wi, acc2):
@@ -213,7 +230,7 @@ def _make_expand_stream_kernel(r: int, ch: int, wb: int, win: int,
                 onehot = ((s_col <= lane) & (lane < e_col)).astype(
                     jnp.float32
                 )
-                vw = vals_vmem[:, pl.ds(bl, win)]
+                vw = vals_vmem[slot, :, pl.ds(bl, win)]
                 return acc2 + jax.lax.dot_general(
                     vw, onehot, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -337,8 +354,8 @@ def _expand_segments_stream(
             ],
             out_specs=[pl.BlockSpec((rp, chunk), lambda j, s1, s2: (0, j))],
             scratch_shapes=[
-                pltpu.VMEM((rp, wb), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, rp, wb), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((rp, cp), out_dtype)],
@@ -490,7 +507,7 @@ def _make_fwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
 
 
 def forward_tiles(
-    payload: jax.Array,  # (16, C + K) — chunk tail pad for window overrun
+    payload: jax.Array,  # (6+F, C + K) — chunk tail pad for window overrun
     tile_starts: jax.Array,  # (T_padded + 1,) dense CSR offsets
     tile_counts: jax.Array,  # (T_padded,) per-tile pair counts
     n_tiles: int,
@@ -515,7 +532,7 @@ def forward_tiles(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, PW, chunk), jnp.float32),
+            pltpu.VMEM((2, payload.shape[0], chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -766,6 +783,143 @@ def reduce_segments_packed(
     )
 
 
+def _make_reduce_packed_multi_kernel(kp: int, pr: int, chunk: int,
+                                     blk: int, nb1: int):
+    """reduce_segments_packed over KP independently-sorted slab PIECES:
+    each gaussian owns one contiguous segment per piece; the program
+    accumulates all KP segments before writing its output block. This is
+    what makes the piecewise reduction sort profitable: the XLA sort is
+    superlinear in length (key+7: 9.5 ms at C/4 vs 43.8 ms at C=5.24M,
+    perf/tpu_r4_probe3.py), and a single multi-range reduce pass keeps
+    the reduce side at ~one program grid instead of KP full passes."""
+    gw = -(-(2 * pr + 2) // 8) * 8
+
+    def kernel(coarse_sref, grads_hbm, s_ref, e_ref, out_ref, g_vmem, sems):
+        b = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        acc0 = jnp.zeros((gw, blk), jnp.float32)
+
+        def piece(j, acc):
+            l0 = pl.multiple_of(
+                (coarse_sref[j * nb1 + b] // chunk) * chunk, chunk
+            )
+            l1 = coarse_sref[j * nb1 + b + 1]
+            nch = pl.cdiv(jnp.maximum(l1 - l0, 0), chunk)
+            # piece-local segment starts/ends for this gaussian block
+            s_row = s_ref[0, 0, j].reshape(1, blk)
+            e_row = e_ref[0, 0, j].reshape(1, blk)
+
+            def dma(slot, i):
+                return pltpu.make_async_copy(
+                    grads_hbm.at[j, :, pl.ds(l0 + i * chunk, chunk)],
+                    g_vmem.at[slot],
+                    sems.at[slot],
+                )
+
+            @pl.when(nch > 0)
+            def _():
+                dma(0, 0).start()
+
+            def body(i, a):
+                slot = i % 2
+
+                @pl.when(i + 1 < nch)
+                def _():
+                    dma((i + 1) % 2, i + 1).start()
+
+                dma(slot, i).wait()
+                g = g_vmem[slot]  # (PR, CH) int32 bf16 pairs
+                hi = jax.lax.bitcast_convert_type(
+                    g & jnp.int32(-65536), jnp.float32
+                )
+                lo = jax.lax.bitcast_convert_type(g << 16, jnp.float32)
+                rows = []
+                for i_ in range(pr):
+                    rows += [hi[i_:i_ + 1], lo[i_:i_ + 1]]
+                rows += [jnp.abs(rows[0]), jnp.abs(rows[1])]
+                while len(rows) < gw:
+                    rows.append(jnp.zeros_like(rows[0]))
+                vals = jnp.concatenate(rows, axis=0)
+                pos = l0 + i * chunk + lane
+                onehot = ((pos >= s_row) & (pos < e_row)).astype(jnp.float32)
+                return a + jnp.dot(
+                    vals, onehot, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            return jax.lax.fori_loop(0, nch, body, acc)
+
+        acc = acc0
+        for j in range(kp):  # static unroll: piece count is tiny
+            acc = piece(j, acc)
+        out_ref[0] = acc
+
+    return kernel
+
+
+def reduce_segments_packed_multi(
+    packed: jax.Array,  # (KP, PR, CP) int32 — KP sorted pieces
+    piece_starts: jax.Array,  # (KP, N + 1) piece-LOCAL segment starts
+    n: int,
+    chunk: int = 512,
+    blk: int = 256,
+) -> jax.Array:
+    """Per-Gaussian sums over KP piece-sorted slabs (see the kernel
+    docstring). Each piece must extend >= chunk lanes past its own
+    piece_starts[j, -1]. Returns (2*PR + 2, N_pad) like
+    reduce_segments_packed."""
+    kp, pr, cp = packed.shape
+    pr_pad = -(-pr // 8) * 8
+    if pr_pad != pr:
+        packed = jnp.pad(packed, ((0, 0), (0, pr_pad - pr), (0, 0)))
+    gw = -(-(2 * pr_pad + 2) // 8) * 8
+    n_pad = -(-n // blk) * blk
+    starts_p = jnp.concatenate([
+        piece_starts,
+        jnp.broadcast_to(piece_starts[:, -1:],
+                         (kp, n_pad + 1 - piece_starts.shape[1])),
+    ], axis=1)  # (KP, n_pad + 1)
+    s_blocks = jnp.moveaxis(
+        starts_p[:, :n_pad].reshape(kp, -1, blk), 0, 1
+    ).reshape(-1, 1, kp, blk)
+    e_blocks = jnp.moveaxis(
+        starts_p[:, 1:n_pad + 1].reshape(kp, -1, blk), 0, 1
+    ).reshape(-1, 1, kp, blk)
+    nb1 = n_pad // blk + 1
+    starts_coarse = starts_p[:, ::blk].reshape(-1)  # (KP * nb1,)
+    kernel = _make_reduce_packed_multi_kernel(kp, pr_pad, chunk, blk, nb1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pad // blk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, kp, blk), lambda b, s: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kp, blk), lambda b, s: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, gw, blk), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, pr_pad, chunk), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_pad // blk, gw, blk),
+                                        jnp.float32)],
+        interpret=_interpret(),
+    )(starts_coarse, packed, s_blocks, e_blocks)
+    res = jnp.moveaxis(out, 1, 0).reshape(gw, n_pad)
+    return jnp.concatenate(
+        [res[:2 * pr], res[2 * pr_pad:2 * pr_pad + 2]], axis=0
+    )
+
+
 def _rne_bf16_bits(x: jax.Array) -> jax.Array:
     """Round-to-nearest-even f32 -> bf16 bit pattern in the LOW 16 bits of
     an int32 (sign-extended garbage above — callers mask/shift). Pure
@@ -987,7 +1141,7 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
 
 
 def backward_tiles(
-    payload: jax.Array,  # (16, C_pad + K)
+    payload: jax.Array,  # (6+F, C_pad + K)
     tile_starts: jax.Array,
     tile_counts: jax.Array,
     g_out_tiles: jax.Array,  # (T, F, P)
@@ -1043,7 +1197,7 @@ def backward_tiles(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, PW, chunk), jnp.float32),
+            pltpu.VMEM((2, payload.shape[0], chunk), jnp.float32),
             pltpu.VMEM((2, 8, chunk), jnp.int32) if pack_grads
             else pltpu.VMEM((2, GW, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

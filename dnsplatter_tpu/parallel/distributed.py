@@ -65,6 +65,7 @@ def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    require_multiprocess: bool = False,
 ) -> DistContext:
     """Bring up the multi-process JAX runtime (idempotent).
 
@@ -75,6 +76,12 @@ def init_distributed(
     path: no coordinator, process 0 of 1 — so every code path above it
     (mesh building, data sharding, checkpoint gating) is testable on
     one host.
+
+    `require_multiprocess=True` (the CLI's `--train.distributed true`)
+    always calls `jax.distributed.initialize()` — on a multi-host TPU
+    pod the bare call self-detects the cluster even when none of the
+    JAX_* env vars are set — and FAILS LOUDLY if bring-up still ends at
+    one process, instead of silently training single-process.
     """
     global _CONTEXT
     if _CONTEXT is not None:
@@ -84,9 +91,34 @@ def init_distributed(
         coordinator_address is not None
         or env.get("JAX_COORDINATOR_ADDRESS")
         or (num_processes or int(env.get("JAX_NUM_PROCESSES", "1"))) > 1
+        or require_multiprocess
     )
     initialized = False
     if want_multi:
+        if require_multiprocess and coordinator_address is None and not (
+            env.get("JAX_COORDINATOR_ADDRESS")
+            or int(env.get("JAX_NUM_PROCESSES", "1")) > 1
+        ):
+            try:
+                jax.distributed.initialize()
+            except Exception as e:  # no detectable cluster: be explicit
+                raise RuntimeError(
+                    "--train.distributed true, but no cluster was "
+                    "detected (set JAX_COORDINATOR_ADDRESS / "
+                    "JAX_NUM_PROCESSES / JAX_PROCESS_ID, or launch on a "
+                    "TPU pod runtime JAX can auto-detect)"
+                ) from e
+            if jax.process_count() == 1:
+                raise RuntimeError(
+                    "--train.distributed true resolved to a single "
+                    "process; refusing to silently train un-distributed"
+                )
+            _CONTEXT = DistContext(
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+                initialized=True,
+            )
+            return _CONTEXT
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -177,11 +209,20 @@ def host_local_value(x) -> np.ndarray:
     if x.is_fully_addressable or x.is_fully_replicated:
         return np.asarray(x)
     out = np.empty(x.shape, x.dtype)
-    covered = np.zeros(x.shape, bool)
+    # Coverage is a property of the shard INDEX RANGES, not the elements:
+    # count covered elements from the slice extents instead of scanning a
+    # full-shape bool mask (which costs O(size) host memory + a pass per
+    # checkpointed array at 1M-capacity state tensors). Shards of one
+    # jax.Array never overlap, so element-count equality == coverage.
+    # Replicated-axis duplicates (e.g. the same gauss-slice on every
+    # local dp row) repeat the same index tuple: dedupe before counting.
+    seen = {}
     for s in x.addressable_shards:
-        out[s.index] = np.asarray(s.data)
-        covered[s.index] = True
-    if not covered.all():
+        key = tuple((sl.start, sl.stop, sl.step) for sl in s.index)
+        if key not in seen:
+            out[s.index] = np.asarray(s.data)
+            seen[key] = int(np.prod(s.data.shape))
+    if sum(seen.values()) != x.size:
         raise ValueError(
             "host-local shards do not cover the global array "
             f"(shape {x.shape}, sharding {x.sharding}); checkpointing "

@@ -303,6 +303,7 @@ class Trainer:
             from dnsplatter_tpu.utils.viewer import Viewer
 
             self.viewer = Viewer(port=train_cfg.viewer_port)
+            self.viewer.set_render_fn(self._orbit_render)
             print(f"viewer: http://127.0.0.1:{self.viewer.port}/",
                   flush=True)
         self._writers = []
@@ -314,6 +315,54 @@ class Trainer:
                 from dnsplatter_tpu.utils.writers import TensorboardWriter
 
                 self._writers.append(TensorboardWriter(self.out_dir / "tb"))
+
+    def _orbit_render(self, az_deg: float, el_deg: float,
+                      radius: float) -> Dict[str, np.ndarray]:
+        """Viewer callback: render the CURRENT model from a user-driven
+        orbit camera (azimuth/elevation around the alive-Gaussian
+        centroid) — the interactive core of the nerfstudio viewer the
+        reference trains with (dn_config.py:69-70). Renders at reduced
+        resolution on the dashboard's HTTP thread; one compiled fn is
+        cached (pose is a traced argument)."""
+        from dnsplatter_tpu.models.dn_model import get_outputs
+        from dnsplatter_tpu.ops.camera import Camera, look_at
+
+        base_cam, _ = self.data.get(0)
+        scale = min(1.0, 320.0 / max(base_cam.width, 1))
+        cam_small = base_cam.rescaled(scale)
+        w, h = cam_small.width, cam_small.height
+
+        if not hasattr(self, "_orbit_fn"):
+            cfg = self._raster_cfg(cam_small)
+            cfg = cfg._replace(
+                pair_capacity=-(-min(cfg.pair_capacity, 1 << 20)
+                                // cfg.chunk) * cfg.chunk
+            )
+
+            @jax.jit
+            def fwd(params, alive, cam):
+                out, _ = get_outputs(
+                    params, alive, cam, self.model_cfg, cfg,
+                    sh_degree=self.model_cfg.sh_degree,
+                    training=False, background=jnp.zeros((3,)),
+                )
+                return out
+
+            self._orbit_fn = fwd
+
+        center = jnp.sum(
+            self.params.means * self.alive[:, None], axis=0
+        ) / jnp.maximum(jnp.sum(self.alive), 1.0)
+        el = np.deg2rad(el_deg)
+        az = np.deg2rad(az_deg)
+        eye = center + radius * jnp.asarray(
+            [np.cos(el) * np.cos(az), np.sin(el), np.cos(el) * np.sin(az)],
+            jnp.float32,
+        )
+        cam = Camera.create(cam_small.fx, cam_small.fy, cam_small.cx,
+                            cam_small.cy, look_at(eye, center), w, h)
+        out = self._orbit_fn(self.params, self.alive, cam)
+        return {k: np.asarray(out[k]) for k in ("rgb", "depth", "normal")}
 
     def _audit_pair_capacity(self) -> Optional[int]:
         """Max raw pair count over up to 8 sample frames * margin,

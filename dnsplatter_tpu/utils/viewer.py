@@ -4,13 +4,21 @@ The reference trains with the nerfstudio viewer on by default
 (dn_config.py:69-70), giving live renders + stats in the browser. This
 is the self-contained analogue: a daemon-thread HTTP server that serves
 
-  /            one-page dashboard (auto-refreshing render + metric table)
+  /            one-page dashboard (auto-refreshing render + metric table,
+               orbit-camera controls)
   /rgb.png     latest posted render (also /depth.png, /normal.png)
   /stats.json  latest metric dict
+  /render.png?az=<deg>&el=<deg>&r=<radius>&ch=rgb|depth|normal
+               USER-DRIVEN camera: renders the current model from an
+               orbit pose (the interactive core of the nerfstudio
+               viewer's camera, dn_config.py:69-70) via a `render_fn`
+               the trainer registers.
 
 The trainer posts images/metrics via `update()`; nothing here touches
 the training loop's device work (encoding happens on the caller's host
-thread only when a viewer is attached).
+thread only when a viewer is attached; orbit renders dispatch on the
+HTTP thread, serialized by a lock so concurrent requests cannot
+interleave device work).
 """
 
 from __future__ import annotations
@@ -18,8 +26,9 @@ from __future__ import annotations
 import io as _io
 import json
 import threading
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional
+from typing import Callable, Dict, Optional
 
 import numpy as np
 
@@ -32,8 +41,28 @@ td{padding:2px 10px;border:1px solid #333}
 </style></head><body>
 <h3>dnsplatter_tpu live viewer</h3>
 <div><img id="rgb" src="/rgb.png"/> <img id="depth" src="/depth.png"/></div>
+<div style="margin-top:12px">
+  <b>orbit camera</b>
+  az <input type="range" id="az" min="-180" max="180" value="0"/>
+  el <input type="range" id="el" min="-80" max="80" value="20"/>
+  r <input type="range" id="r" min="5" max="80" value="30"/>
+  ch <select id="ch"><option>rgb</option><option>depth</option>
+     <option>normal</option></select>
+  <div><img id="orbit"/></div>
+</div>
 <table id="stats"></table>
 <script>
+function orbit(){
+  const az=document.getElementById('az').value,
+        el=document.getElementById('el').value,
+        r=document.getElementById('r').value/10,
+        ch=document.getElementById('ch').value;
+  document.getElementById('orbit').src =
+    `/render.png?az=${az}&el=${el}&r=${r}&ch=${ch}&t=${Date.now()}`;
+}
+for (const id of ['az','el','r','ch'])
+  document.getElementById(id).addEventListener('change', orbit);
+orbit();
 async function tick(){
   try{
     const r = await fetch('/stats.json'); const s = await r.json();
@@ -56,6 +85,25 @@ class ViewerState:
         self.lock = threading.Lock()
         self.images: Dict[str, bytes] = {}
         self.stats: Dict[str, float] = {}
+        # render_fn(azimuth_deg, elevation_deg, radius) -> {name: array}
+        self.render_fn: Optional[Callable] = None
+        self.render_lock = threading.Lock()
+        self._render_cache: tuple = (None, None)  # (key, images dict)
+
+    def render_pose(self, az: float, el: float, radius: float,
+                    channel: str) -> Optional[bytes]:
+        """Render the scene from a user-supplied orbit pose (cached per
+        pose so switching channels doesn't re-render)."""
+        if self.render_fn is None:
+            return None
+        key = (round(az, 2), round(el, 2), round(radius, 3))
+        with self.render_lock:
+            if self._render_cache[0] != key:
+                imgs = self.render_fn(az, el, radius)
+                self._render_cache = (key, imgs)
+            imgs = self._render_cache[1]
+        arr = imgs.get(channel)
+        return None if arr is None else _encode_png(arr)
 
     def update(self, stats: Optional[Dict] = None,
                images: Optional[Dict[str, np.ndarray]] = None) -> None:
@@ -110,6 +158,30 @@ class Viewer:
                     with state.lock:
                         body = json.dumps(state.stats).encode()
                     ctype = "application/json"
+                elif path == "/render.png":
+                    q = urllib.parse.parse_qs(
+                        urllib.parse.urlsplit(self.path).query
+                    )
+
+                    def fget(k, d):
+                        try:
+                            return float(q.get(k, [d])[0])
+                        except ValueError:
+                            return d
+
+                    ch = q.get("ch", ["rgb"])[0]
+                    try:
+                        body = state.render_pose(
+                            fget("az", 0.0), fget("el", 20.0),
+                            fget("r", 3.0), ch,
+                        )
+                    except Exception:
+                        body = None
+                    if body is None:
+                        self.send_response(503)
+                        self.end_headers()
+                        return
+                    ctype = "image/png"
                 elif path.endswith(".png"):
                     name = path[1:-4]
                     with state.lock:
@@ -139,6 +211,11 @@ class Viewer:
 
     def update(self, stats=None, images=None) -> None:
         self.state.update(stats=stats, images=images)
+
+    def set_render_fn(self, fn) -> None:
+        """Register fn(az_deg, el_deg, radius) -> {channel: array} for
+        the user-driven /render.png orbit endpoint."""
+        self.state.render_fn = fn
 
     def close(self) -> None:
         self.server.shutdown()

@@ -81,9 +81,24 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
             [sys.executable, WORKER, coord, "2", str(rank), str(out)],
             env=env, cwd=REPO, stdout=log, stderr=subprocess.STDOUT,
         ))
-    codes = [p.wait(timeout=840) for p in procs]
-    for log in logs:
-        log.close()
+    # Budget the TOTAL wall-clock across both waits, and always reap the
+    # workers: if one rank crashes before the gloo rendezvous the other
+    # hangs forever — leaking two JAX processes on this single-core box
+    # would poison the rest of the suite.
+    import time as _time
+
+    deadline = _time.monotonic() + 840
+    codes = []
+    try:
+        for p in procs:
+            codes.append(p.wait(timeout=max(1.0, deadline - _time.monotonic())))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=30)
+        for log in logs:
+            log.close()
     for rank, code in enumerate(codes):
         tail = (tmp_path / f"rank{rank}.log").read_text()[-2000:]
         assert code == 0, f"rank {rank} exited {code}:\n{tail}"

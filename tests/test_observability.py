@@ -98,6 +98,20 @@ def test_trainer_writers_integration(tmp_path):
     base = f"http://127.0.0.1:{tr.viewer.port}"
     png = urllib.request.urlopen(f"{base}/rgb.png").read()
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # user-driven orbit camera: two distinct poses must yield distinct
+    # images (the interactive core of the nerfstudio viewer,
+    # dn_config.py:69-70)
+    pose_a = urllib.request.urlopen(
+        f"{base}/render.png?az=0&el=20&r=3&ch=rgb").read()
+    pose_b = urllib.request.urlopen(
+        f"{base}/render.png?az=120&el=-10&r=3&ch=rgb").read()
+    assert pose_a[:8] == b"\x89PNG\r\n\x1a\n"
+    assert pose_b[:8] == b"\x89PNG\r\n\x1a\n"
+    assert pose_a != pose_b
+    # depth channel of the cached pose serves without re-rendering
+    pose_b_depth = urllib.request.urlopen(
+        f"{base}/render.png?az=120&el=-10&r=3&ch=depth").read()
+    assert pose_b_depth[:8] == b"\x89PNG\r\n\x1a\n"
     tr.viewer.close()
 
 

@@ -85,3 +85,64 @@ def test_pallas_backward_matches_xla(grad_reduce, rtol, atol):
         scale = max(np.abs(gx).max(), 1e-6)
         np.testing.assert_allclose(gp / scale, gx / scale, rtol=rtol,
                                    atol=atol, err_msg=name)
+
+
+def test_n1m_decision_path_composition_matches_xla(monkeypatch):
+    """Regression pin for the EXACT composition the N=1M bench config
+    takes (bench.py N_GAUSS_1M): sort_scheme packed32 + the STREAMED
+    expand_segments (value table past VMEM residency) + sortpack
+    gradient reduction + the full 7-feature payload (rgb+normal+depth),
+    exercised end-to-end at toy sizes against the XLA backend. The
+    individual pieces are layout-tested elsewhere (test_binning.py);
+    this asserts their composition through the full custom-VJP path."""
+    from dnsplatter_tpu.ops import rasterize_pallas as rp
+
+    # Force the streamed expand at toy N (the 1M path crosses
+    # resident_max naturally).
+    orig_expand = rp.expand_segments
+
+    def forced_stream(vals, starts, out_len, **kw):
+        kw["resident_max"] = 128
+        return orig_expand(vals, starts, out_len, **kw)
+
+    monkeypatch.setattr(rp, "expand_segments", forced_stream)
+
+    width, height = 64, 48
+    proj, opac, _ = make_scene(jax.random.PRNGKey(5), n=350, width=width,
+                               height=height, f=4)
+    feats = jax.random.uniform(jax.random.PRNGKey(6), (350, 7))
+    base = RasterizeConfig(width=width, height=height, tile_size=16,
+                           chunk=32, tile_block=4, pair_capacity=1 << 14,
+                           grad_reduce="sortpack", sort_scheme="packed32",
+                           reduce_pieces=4)
+    w_img = jax.random.normal(jax.random.PRNGKey(7), (height, width, 7))
+    w_a = jax.random.normal(jax.random.PRNGKey(8), (height, width, 1))
+    sink = jnp.zeros_like(proj.means2d)
+
+    def loss(cfg, m, c, o, ft, s):
+        img, a = rasterize(m, c, proj.depths, o, ft, proj.valid, cfg,
+                           absgrad_sink=s, radii=proj.radii)
+        return jnp.sum(img * w_img) + jnp.sum(a * w_a)
+
+    outs, grads = {}, {}
+    for backend in ("xla", "pallas"):
+        cfg = base._replace(backend=backend)
+        outs[backend] = rasterize(
+            proj.means2d, proj.conics, proj.depths, opac, feats, proj.valid,
+            cfg, radii=proj.radii,
+        )
+        grads[backend] = jax.grad(
+            lambda *a: loss(cfg, *a), argnums=(0, 1, 2, 3, 4)
+        )(proj.means2d, proj.conics, opac, feats, sink)
+
+    # forward bit-close (identical compositing decisions)
+    np.testing.assert_allclose(np.asarray(outs["xla"][0]),
+                               np.asarray(outs["pallas"][0]),
+                               rtol=1e-5, atol=1e-6)
+    # grads within the sortpack bf16 tolerance
+    names = ["means2d", "conics", "opacities", "features", "absgrad"]
+    for name, gx, gp in zip(names, grads["xla"], grads["pallas"]):
+        gx, gp = np.asarray(gx), np.asarray(gp)
+        scale = max(np.abs(gx).max(), 1e-6)
+        np.testing.assert_allclose(gp / scale, gx / scale, rtol=2e-2,
+                                   atol=2e-3, err_msg=name)

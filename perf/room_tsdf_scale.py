@@ -86,10 +86,23 @@ def main():
     t_ext = time.perf_counter() - t0
     print(f"extract_mesh: {len(verts)} verts, {len(faces)} faces "
           f"in {t_ext:.1f}s")
-    # sanity: the mesh must span the room extents at ~1 cm accuracy
-    span = verts.max(0) - verts.min(0)
-    print(f"mesh span: {span} (room {ROOM})")
+    # sanity: the mesh must span the room extents at ~1 cm accuracy.
+    # Use percentile extents — projective TSDF smears a few vertices
+    # past the walls at grazing incidence (Open3D's ScalableTSDFVolume
+    # shows the same artifact), so the max vertex is not the metric.
+    span = (np.percentile(verts, 99.9, axis=0)
+            - np.percentile(verts, 0.1, axis=0))
+    print(f"mesh span (p99.9-p0.1): {span} (room {ROOM})")
+    # distance of each vertex to the box surface (exact for an AABB)
+    q = np.abs(verts) - ROOM[None, :] / 2
+    dist = np.linalg.norm(np.maximum(q, 0.0), axis=-1) + np.minimum(
+        q.max(-1), 0.0)
+    rms = float(np.sqrt(np.mean(dist ** 2)))
+    frac_off = float(np.mean(np.abs(dist) > 0.03))
+    print(f"vertex-to-box distance: rms={rms * 100:.2f} cm, "
+          f"|d|>3cm frac={frac_off:.4f}")
     assert np.all(np.abs(span - ROOM) < 0.1), span
+    assert rms < 0.03, rms
 
 
 if __name__ == "__main__":

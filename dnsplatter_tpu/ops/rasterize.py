@@ -1171,20 +1171,27 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
             gpad = jnp.pad(grads, ((0, 0), (0, cp)))
             kpad = jnp.pad(binned.pair_orig, (0, cp), constant_values=n)
             lane = jnp.arange(cp, dtype=jnp.int32)
-            pieces = []
+            keyp = []
+            valp = []
             for j in range(kp):
                 lenj = pj[j + 1] - pj[j]
                 kj = jax.lax.dynamic_slice(kpad, (pj[j],), (cp,))
-                kj = jnp.where(lane < lenj, kj, n)
-                slj = jax.lax.dynamic_slice(
+                keyp.append(jnp.where(lane < lenj, kj, n))
+                valp.append(jax.lax.dynamic_slice(
                     gpad, (0, pj[j]), (rows_used, cp)
-                )
-                outs = jax.lax.sort(
-                    (kj,) + tuple(slj[i] for i in range(rows_used)),
-                    num_keys=1,
-                )
-                pieces.append(jnp.stack(outs[1:], axis=0))
-            packed = jnp.pad(jnp.stack(pieces, axis=0),
+                ))
+            # ONE batched (KP, cp) sort along the lane axis: the pieces
+            # share a static capacity, so stacking them lets XLA run one
+            # kp-way-parallel sorting network of length cp instead of kp
+            # sequential length-cp networks (the sort is superlinear in
+            # length, and the batch amortizes per-sort setup).
+            keys2 = jnp.stack(keyp, axis=0)  # (KP, cp)
+            vals2 = jnp.stack(valp, axis=1)  # (rows, KP, cp)
+            outs = jax.lax.sort(
+                (keys2,) + tuple(vals2[i] for i in range(rows_used)),
+                num_keys=1, dimension=-1,
+            )
+            packed = jnp.pad(jnp.stack(outs[1:], axis=1),
                              ((0, 0), (0, 0), (0, 512)))
             per = rp.reduce_segments_packed_multi(
                 packed, binned.piece_starts, n, blk=256

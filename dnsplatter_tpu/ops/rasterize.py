@@ -118,16 +118,14 @@ class RasterizeConfig(NamedTuple):
     sort_scheme: str = "auto"
     # Piecewise gradient-reduction sort (pallas sortpack only): split the
     # per-pair gradient slab at KP pair-balanced TILE boundaries, sort
-    # each piece independently, and reduce all pieces in one multi-range
-    # kernel pass. The XLA sort is superlinear in length (key+7 rows:
-    # 9.5 ms at C/4 vs 43.8 ms at C=5.24M, perf/tpu_r4_probe3.py), so
-    # 4 quarter-sorts cost ~26 ms — exactness is preserved because every
-    # piece boundary is a tile boundary (per-gaussian per-piece pair
-    # counts are closed-form from the tile bboxes) and a runtime
-    # `piece_ok` cond falls back to the monolithic sort when a piece
-    # overflows its static capacity. 0 = auto: 4 pieces when
-    # pair_capacity >= 2^22, else 1 (the split overhead only pays at
-    # multi-M pair counts).
+    # each piece independently (one batched (KP, cp) lax.sort), and
+    # reduce all pieces in one multi-range kernel pass. The XLA sort is
+    # superlinear in length (key+7 rows: 9.5 ms at C/4 vs 43.8 ms at
+    # C=5.24M, perf/tpu_r4_probe3.py) — but measured END-TO-END the
+    # dynamic-slice/pad piece machinery eats the saving (full fwd+bwd at
+    # N=1M: pieces4 148.0 vs mono 141.1 ms/frame, perf/tpu_r4_probe4.py),
+    # so 0 = auto resolves to 1 (monolithic). The piecewise path stays
+    # available for configs where static piece boundaries apply.
     reduce_pieces: int = 0
 
     @property
@@ -154,7 +152,7 @@ class RasterizeConfig(NamedTuple):
     def n_reduce_pieces(self) -> int:
         if self.reduce_pieces:
             return self.reduce_pieces
-        return 4 if self.pair_capacity >= (1 << 22) else 1
+        return 1
 
     @property
     def piece_capacity(self) -> int:

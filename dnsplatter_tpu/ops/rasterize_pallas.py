@@ -318,9 +318,11 @@ def _expand_segments_stream(
     out_len: int,
     win: int = 128,
     out_dtype=jnp.int32,
-    chunk: int = 4096,
+    chunk: int = 2048,
     wb: int = 2048,
 ) -> jax.Array:
+    # chunk=2048 measured best at C=5.24M / 5 int rows: 13.3 ms vs 13.7
+    # (1024) / 16.3 (512) / 17.5 (4096) — perf/tpu_r4_probe4.py.
     """expand_segments for N past VMEM residency (see docstring there)."""
     r, n = vals.shape
     # The value-block DMA slices the (R, n_pad) table along the SUBLANE

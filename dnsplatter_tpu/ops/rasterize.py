@@ -832,21 +832,14 @@ def _raster_fwd(cfg, means2d, conics, opacities, features, absgrad_sink,
         f = features.shape[-1]
         rad2 = radii if radii.ndim == 2 else jnp.stack([radii, radii], -1)
         opac_masked = jnp.where(validf > 0.5, opacities, 0.0)
-        # Built (and row-gathered) as TWO 8-column halves: N-scale row
-        # gathers hit the same >32-byte/row cost cliff as the C-scale
-        # payload gather (perf/tpu_r4_probe5.py) — separate operands
-        # keep XLA from fusing the halves into one 64-byte-row gather.
-        fields_a = jnp.concatenate(
-            [means2d, conics, opac_masked[:, None], features[:, :2]],
-            axis=-1,
-        )  # cols 0..8
-        fields_b = jnp.concatenate(
-            [features[:, 2:], jnp.zeros((n, 13 - 6 - f), jnp.float32),
+        fields = jnp.concatenate(
+            [means2d, conics, opac_masked[:, None], features,
+             jnp.zeros((n, 13 - 6 - f), jnp.float32),
              rad2, validf[:, None]],
             axis=-1,
-        )  # cols 8..16
+        )
         order = jnp.argsort(jnp.where(validf > 0.5, depths, jnp.inf))
-        fields_s = jnp.concatenate([fields_a[order], fields_b[order]], -1)
+        fields_s = fields[order]
         binned = bin_gaussians(cfg, means2d, depths, radii, validf,
                                conics=conics, opacities=opacities,
                                order=order, fields_sorted=fields_s)
@@ -905,20 +898,10 @@ def _raster_fwd_pallas(cfg, binned, fields_s, f, n):
     # 6+F columns (the cost saving), the zero-pad up to the next
     # multiple of 8 fuses into the transpose write.
     pw_pad = -(-pw // 8) * 8
-    # The C-scale row gather falls off a cliff above 32 bytes/row
-    # (w6: 8.0 ms vs w10: 38.7 / w13: 37.5 ms barrier-materialized at
-    # C=5.24M, perf/tpu_r4_probe5.py) — split the payload into <=8-row
-    # gathers from PHYSICALLY SEPARATE tables so XLA cannot re-fuse
-    # them into one wide-row gather.
-    parts = []
-    for lo in range(0, pw, 8):
-        hi = min(lo + 8, pw)
-        tbl = jnp.concatenate(
-            [fields_s[:, lo:hi], jnp.zeros((1, hi - lo), jnp.float32)]
-        )
-        parts.append(tbl[binned.pair_gauss])  # (C_al, <=8)
-    rows = (jnp.concatenate(parts, axis=-1) if len(parts) > 1
-            else parts[0])
+    fields = jnp.concatenate(
+        [fields_s[:, :pw], jnp.zeros((1, pw), jnp.float32)]
+    )
+    rows = fields[binned.pair_gauss]  # (C_al, 6+F)
     payload = jnp.pad(rows, ((0, 0), (0, pw_pad - pw))).T  # (PWpad, C_al)
     out_t, tfin_t, last_t = rp.forward_tiles(
         payload, binned.starts, binned.counts, cfg.n_tiles_padded, f,

@@ -34,9 +34,12 @@ class PoissonConfig:
     screening: float = 0.0  # alpha: (lap - alpha) chi = div V  (0 = pure)
     # Solver: "fft" (spectral, exact, complex64 memory ~16 B/voxel),
     # "cg" (conjugate gradients on the Dirichlet Laplacian, f32
-    # ~4 B/voxel — reaches 384^3+, the reference's Poisson depth-9
-    # regime, export_mesh.py:294-298; measured rel-residual 5e-4 and
-    # chi-correlation 0.99999 vs the spectral solve at 192^3),
+    # ~4 B/voxel). Recorded v5e runs (perf/tpu_poisson_scale.py,
+    # 200k-point analytic sphere): 384^3 solves in 4.65 s at
+    # rel-residual 1.3e-4 with radial RMS 0.08 mm, and 512^3 — the
+    # reference's Poisson depth-9-effective regime
+    # (export_mesh.py:294-298) — in 13.4 s at 2.1e-4 / 0.07 mm; both
+    # beat the 192^3 FFT yardstick's 0.14 mm.
     # "auto" = fft up to 192^3, cg above.
     solver: str = "auto"
     cg_tol: float = 1e-5

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from dnsplatter_tpu.ops.camera import backproject_depth
-from dnsplatter_tpu.ops.quat import quat_to_rotmat
+from dnsplatter_tpu.ops.quat import quat_rotate, quat_to_rotmat
 
 
 def pcd_to_normal(xyz: jax.Array) -> jax.Array:
@@ -85,8 +85,9 @@ def per_gaussian_normals(
     s = scales_log
     idx = jnp.argmin(s, axis=-1)
     onehot = jax.nn.one_hot(idx, 3, dtype=s.dtype)
-    rots = quat_to_rotmat(quats)  # (N, 3, 3)
-    normals = jnp.einsum("nij,nj->ni", rots, onehot)
+    # quat_rotate keeps this elementwise — an (N, 3, 3) rotmat einsum
+    # materializes T(4,128)-padded operands (~57x) in the train step.
+    normals = quat_rotate(quats, onehot)
     normals = normals / jnp.maximum(
         jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12
     )

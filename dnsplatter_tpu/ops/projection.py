@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from dnsplatter_tpu.ops.quat import quat_to_rotmat
+from dnsplatter_tpu.ops.quat import quat_normalize, quat_to_rotmat
 
 
 class Projected(NamedTuple):
@@ -49,6 +49,44 @@ def quat_scale_to_covar(quats: jax.Array, scales: jax.Array) -> jax.Array:
     rot = quat_to_rotmat(quats)  # (N, 3, 3)
     m = rot * scales[..., None, :]  # R @ diag(s)
     return m @ jnp.swapaxes(m, -1, -2)
+
+
+def _camera_cov_components(quats, scales, rot_wc):
+    """The 6 unique entries of W (R S)(R S)^T W^T as (N,) arrays.
+
+    Fully component-wise on purpose: (N, 3, 3) temporaries tile as
+    T(4, 128) on TPU — a 56.9x padding expansion that costs 3.8 GB per
+    temporary at N=2M capacity and OOMs the 1M-seed train step compile
+    (three such buffers appear in the einsum formulation's transposed
+    autodiff). Scalar-weighted (N,) math keeps both the primal and the
+    VJP elementwise."""
+    q = quat_normalize(quats)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    r = (
+        (1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy)),
+        (2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx)),
+        (2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy)),
+    )
+    s = (scales[..., 0], scales[..., 1], scales[..., 2])
+    # 0-d slices (viewmat may be traced — e.g. under camera-pose opt)
+    ww = [[rot_wc[i, k] for k in range(3)] for i in range(3)]
+    # b[i][j] = sum_k W_ik R_kj s_j  (W entries are camera scalars)
+    b = [
+        [
+            (ww[i][0] * r[0][j] + ww[i][1] * r[1][j] + ww[i][2] * r[2][j])
+            * s[j]
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+
+    def dot(i, l):
+        return b[i][0] * b[l][0] + b[i][1] * b[l][1] + b[i][2] * b[l][2]
+
+    return dot(0, 0), dot(0, 1), dot(0, 2), dot(1, 1), dot(1, 2), dot(2, 2)
 
 
 def project_gaussians(
@@ -94,8 +132,9 @@ def project_gaussians(
     mean_c = means @ rot_wc.T + t_wc  # (N, 3)
     tz = mean_c[..., 2]
 
-    covar = quat_scale_to_covar(quats, scales)  # (N, 3, 3)
-    covar_c = jnp.einsum("ij,njk,lk->nil", rot_wc, covar, rot_wc)
+    c00, c01, c02, c11, c12, c22 = _camera_cov_components(
+        quats, scales, rot_wc
+    )
 
     tz_safe = jnp.where(jnp.abs(tz) < 1e-8, 1e-8, tz)
     tan_fovx = 0.5 * width / fx
@@ -112,9 +151,6 @@ def project_gaussians(
     j02 = -fx * txz * rz2
     j11 = fy * rz
     j12 = -fy * tyz * rz2
-
-    c00, c01, c02 = covar_c[..., 0, 0], covar_c[..., 0, 1], covar_c[..., 0, 2]
-    c11, c12, c22 = covar_c[..., 1, 1], covar_c[..., 1, 2], covar_c[..., 2, 2]
 
     # cov2d = J Sigma J^T, expanded by hand (keeps it on the VPU, no 3x3
     # batched matmuls for a 2x2 result).

@@ -52,6 +52,22 @@ def quat_to_rotmat(quat: jax.Array) -> jax.Array:
     return rot.reshape(quat.shape[:-1] + (3, 3))
 
 
+def quat_rotate(quat: jax.Array, v: jax.Array) -> jax.Array:
+    """Rotate (..., 3) vectors by (..., 4) wxyz quaternions, elementwise.
+
+    Equivalent to `quat_to_rotmat(quat) @ v` but never materializes an
+    (N, 3, 3) matrix: batched tiny-matmul operands force T(4, 128)-tiled
+    layouts on TPU (a ~57x padding expansion — 3.8 GB per temporary at
+    N=2M), while this v' = v + 2 w (qv x v) + 2 qv x (qv x v) form stays
+    fused elementwise. Input is normalized internally like
+    quat_to_rotmat."""
+    q = quat_normalize(quat)
+    w = q[..., 0:1]
+    qv = q[..., 1:4]
+    t = 2.0 * jnp.cross(qv, v)
+    return v + w * t + jnp.cross(qv, t)
+
+
 def rotmat_to_quat(mat: jax.Array, eps: float = 1e-12) -> jax.Array:
     """Convert (..., 3, 3) rotation matrices to (..., 4) wxyz quaternions.
 

@@ -115,6 +115,22 @@ class RasterizeConfig(NamedTuple):
     #               exactly — no integer ceiling, any N.
     #   "auto"    — packed when it fits in int32, else packed32 when it
     #               fits in uint32, else tilekey.
+    #   "depthq"  — NO global depth pre-sort: gaussians stay in original
+    #               parameter order and the sort key packs
+    #               `tile * 2^qb + quantize(depth, qb bits)` in uint32
+    #               (qb = 32 - ceil(log2(T_pad + 1)); >= 20 bits at the
+    #               bench tiling). Kills the N-scale depth argsort AND
+    #               the (N, 16) depth-order table gather, and collapses
+    #               the depth-index/original-id duality (pair_gauss ==
+    #               pair_orig, gauss_starts == orig_starts). Within-tile
+    #               order is quantized-depth order with platform-
+    #               deterministic ties — renders differ from the exact
+    #               schemes only by transcendental-level reorders of
+    #               near-equal-depth (< depth-range / 2^qb) splats
+    #               (gsplat's CUDA key packs the full f32 depth bits;
+    #               this trades <= 2^-20-relative reorders for ~10
+    #               ms/frame at N=1M). Both backends share the layout,
+    #               so cross-backend parity is unaffected.
     sort_scheme: str = "auto"
     # Piecewise gradient-reduction sort (pallas sortpack only): split the
     # per-pair gradient slab at KP pair-balanced TILE boundaries, sort
@@ -158,9 +174,12 @@ class RasterizeConfig(NamedTuple):
     def piece_capacity(self) -> int:
         """Static per-piece slab capacity: balanced share + one-tile
         slack (boundaries are searchsorted to ~equal pair counts; the
-        residual imbalance is at most a single tile's pair count)."""
+        residual imbalance is at most a single tile's pair count —
+        measured max 4,007 pairs/tile at the N=1M bench scene; the
+        runtime piece_ok cond falls back to the monolithic sort if a
+        scene ever exceeds the slack)."""
         kp = self.n_reduce_pieces
-        cap = self.pair_capacity // kp + 65536
+        cap = self.pair_capacity // kp + 16384
         return -(-cap // self.chunk) * self.chunk
 
     @property
@@ -261,9 +280,27 @@ def bin_gaussians(
     t_pad = cfg.n_tiles_padded
     valid = validf > 0.5
 
-    if order is None:
+    depthq = cfg.sort_scheme == "depthq"
+    if depthq:
+        # No global pre-sort: "sorted" views ARE the original arrays
+        # (depth ordering moves into the sort key).
+        qbits = 32 - max(int(t_pad + 1).bit_length(), 1)
+        assert qbits >= 14, (
+            f"depthq needs >= 14 depth bits, got {qbits} at "
+            f"{t_pad} padded tiles; use sort_scheme='auto'"
+        )
+        assert n < (1 << 24), "depthq rides gaussian ids through f32 expand"
+        order = jnp.arange(n, dtype=jnp.int32)
+        m2d_s = means2d
+        rad_s = radii if radii.ndim == 2 else (
+            radii[:, None] * jnp.ones((1, 2), radii.dtype)
+        )
+        valid_s = valid
+    elif order is None:
         order = jnp.argsort(jnp.where(valid, depths, jnp.inf))
-    if fields_sorted is not None:
+    if depthq:
+        pass
+    elif fields_sorted is not None:
         m2d_s = fields_sorted[:, 0:2]
         rad_s = fields_sorted[:, 13:15]
         valid_s = fields_sorted[:, 15] > 0.5
@@ -358,10 +395,26 @@ def bin_gaussians(
     # Row 4 expands each pair's ORIGINAL gaussian id: it rides the
     # binning sort (replacing the old pre-sort pair position) so the
     # backward's gradient-reduction sort can key on it directly and
-    # emit per-Gaussian sums already in original order.
+    # emit per-Gaussian sums already in original order. Under depthq
+    # row 0 already IS the original id (identity order), so row 4
+    # carries the quantized depth for the sort key instead.
+    if depthq:
+        qmax = (1 << qbits) - 1
+        dmin = jnp.min(jnp.where(valid, depths, jnp.inf))
+        dmax = jnp.max(jnp.where(valid, depths, -jnp.inf))
+        dmin = jnp.where(jnp.isfinite(dmin), dmin, 0.0)
+        dmax = jnp.where(jnp.isfinite(dmax), dmax, 0.0)
+        span = jnp.maximum(dmax - dmin, 1e-12)
+        qdf = jnp.clip(
+            jnp.round((depths - dmin) / span * (qmax - 1)),
+            0.0, float(qmax - 1),
+        )
+        row4 = jnp.where(valid, qdf, 0.0).astype(jnp.int32)
+    else:
+        row4 = order.astype(jnp.int32)
     vals = jnp.stack(
         [jnp.arange(n, dtype=jnp.int32), offsets, jnp.maximum(w, 1), xy,
-         order.astype(jnp.int32)],
+         row4],
         axis=0,
     )  # (5, N) field-major
     gauss_starts = jnp.concatenate([offsets, total[None]]).astype(jnp.int32)
@@ -388,7 +441,10 @@ def bin_gaussians(
         if cull:
             # One combined f32 expansion: 4 int rows (exact in f32 below
             # 2^24) + 6 geometry rows for the exact ellipse-tile test.
-            if fields_sorted is not None:
+            if depthq:
+                con_s = conics
+                op_s = jnp.where(valid, opacities, 0.0)
+            elif fields_sorted is not None:
                 con_s = fields_sorted[:, 2:5]
                 op_s = fields_sorted[:, 5]  # already validity-masked
             else:
@@ -424,7 +480,8 @@ def bin_gaussians(
     wg = jnp.maximum(acc[2], 1)
     x0p = acc[3] // 4096
     y0p = acc[3] % 4096
-    orig0 = acc[4]  # original gaussian id per pre-sort pair
+    # original gaussian id per pre-sort pair (== row 0 under depthq)
+    orig0 = pair_gauss0 if depthq else acc[4]
     tile_id = x0p + rank % wg + (y0p + rank // wg) * cfg.tiles_x
     tile_id = jnp.clip(tile_id, 0, t_pad)  # dead-lane overflow insurance
 
@@ -470,14 +527,45 @@ def bin_gaussians(
     # (8.9 ms at N=1M) disappears. Segment boundaries are `orig_starts`.
     ov = jnp.where(live, orig0, n)
     scheme = cfg.sort_scheme
-    if scheme == "auto":
+    if scheme == "depthq":
+        # uint32 key = tile * 2^qb + quantized depth; the gaussian id
+        # rides as payload (it cannot be decoded from the key). Culled
+        # and dead lanes take qdepth == qmax (> any real value), so
+        # they land at each tile's tail / past the last tile exactly
+        # like the packed schemes' sentinel-gauss keys.
+        qd_pair = acc[4]
+        bigq = jnp.uint32(qmax + 1)
+        sentinel = jnp.uint32(t_pad) * bigq + jnp.uint32(qmax)
+        key_real = jnp.where(
+            live,
+            tile_id.astype(jnp.uint32) * bigq + qd_pair.astype(jnp.uint32),
+            sentinel,
+        )
+        if cull:
+            key_real = jnp.where(
+                live & ~survive,
+                tile_id.astype(jnp.uint32) * bigq + jnp.uint32(qmax),
+                key_real,
+            )
+        keys, pair_gauss = jax.lax.sort((key_real, ov), num_keys=1)
+        pair_orig = pair_gauss  # identity order: same ids
+        if cull:
+            bounds = (jnp.arange(t_pad, dtype=jnp.uint32) * bigq
+                      + jnp.uint32(qmax))
+            surv_end = jnp.searchsorted(
+                keys, bounds, side="left"
+            ).astype(jnp.int32)
+            tile_counts = surv_end - starts[:-1]
+    elif scheme == "auto":
         if (t_pad + 1) * big <= jnp.iinfo(jnp.int32).max:
             scheme = "packed"
         elif (t_pad + 1) * big <= jnp.iinfo(jnp.uint32).max:
             scheme = "packed32"
         else:
             scheme = "tilekey"
-    if scheme == "packed":
+    if scheme == "depthq":
+        pass  # sorted above
+    elif scheme == "packed":
         assert (t_pad + 1) * big <= jnp.iinfo(jnp.int32).max, (
             "packed sort key overflows int32 at this (tiles, N); use "
             "sort_scheme='tilekey'"
@@ -587,14 +675,19 @@ def bin_gaussians(
         jnp.maximum(x1u - x0u, 0) * jnp.maximum(y1u - y0u, 0),
         0,
     ).astype(jnp.int32)
-    counts_orig = jax.lax.cond(
-        total_raw <= c,
-        lambda _: counts_orig_raw,
-        lambda _: jax.lax.sort(
-            (order.astype(jnp.int32), counts_g), num_keys=1
-        )[1],
-        None,
-    )
+    if depthq:
+        # identity order: counts_g is already per-ORIGINAL-gaussian
+        # (including any overflow drops).
+        counts_orig = counts_g
+    else:
+        counts_orig = jax.lax.cond(
+            total_raw <= c,
+            lambda _: counts_orig_raw,
+            lambda _: jax.lax.sort(
+                (order.astype(jnp.int32), counts_g), num_keys=1
+            )[1],
+            None,
+        )
     orig_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
          jnp.cumsum(counts_orig).astype(jnp.int32)]
@@ -832,6 +925,19 @@ def _raster_fwd(cfg, means2d, conics, opacities, features, absgrad_sink,
         f = features.shape[-1]
         rad2 = radii if radii.ndim == 2 else jnp.stack([radii, radii], -1)
         opac_masked = jnp.where(validf > 0.5, opacities, 0.0)
+        if cfg.sort_scheme == "depthq":
+            # No depth pre-sort at all: gaussians keep their original
+            # order (depth rides in the sort key), so the N-scale
+            # argsort AND the (N, 16) depth-order row gather both
+            # disappear — the payload table is just a concat of the
+            # original arrays.
+            fields_s = jnp.concatenate(
+                [means2d, conics, opac_masked[:, None], features],
+                axis=-1,
+            )  # (N, 6 + F), original order
+            binned = bin_gaussians(cfg, means2d, depths, radii, validf,
+                                   conics=conics, opacities=opacities)
+            return _raster_fwd_pallas(cfg, binned, fields_s, f, n)
         fields = jnp.concatenate(
             [means2d, conics, opac_masked[:, None], features,
              jnp.zeros((n, 13 - 6 - f), jnp.float32),
@@ -1191,8 +1297,12 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
             )
             packed = jnp.pad(jnp.stack(outs[1:], axis=1),
                              ((0, 0), (0, 0), (0, 512)))
+            # The multi-reduce's chunk-visit count scales with
+            # (N/blk) * KP — scale blk with the piece count to keep
+            # visits near the mono kernel's C/chunk floor.
             per = rp.reduce_segments_packed_multi(
-                packed, binned.piece_starts, n, blk=256
+                packed, binned.piece_starts, n,
+                blk=256 if kp <= 4 else 1024,
             )
             return jnp.concatenate([per[:nlive], per[-2:]], axis=0)[:, :n]
 

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from dnsplatter_tpu.models.dn_model import ModelConfig
 from dnsplatter_tpu.models.gaussians import GaussianParams
-from dnsplatter_tpu.ops.quat import quat_to_rotmat
+from dnsplatter_tpu.ops.quat import quat_rotate
 from dnsplatter_tpu.train.optim import AdamState, zero_moments_field
 
 
@@ -139,13 +139,13 @@ def densify_and_cull(
     # --- splits: n_split_samples children sampled inside the parent ---
     split_rank = jnp.cumsum(splits.astype(jnp.int32)) - 1
     scales_lin = jnp.exp(params.scales)
-    rots = quat_to_rotmat(params.quats)  # (C, 3, 3)
     new_scales = jnp.log(scales_lin / 1.6)
     touched = [jnp.where(dup_ok, dup_slots, capacity)]
     for s in range(cfg.n_split_samples):
         key, ks = jax.random.split(key)
         eps = jax.random.normal(ks, (capacity, 3)) * scales_lin
-        offs = jnp.einsum("nij,nj->ni", rots, eps)
+        # elementwise rotation — the (C, 3, 3) rotmat einsum pads ~57x
+        offs = quat_rotate(params.quats, eps)
         child = GaussianParams(
             means=params.means + offs,
             scales=new_scales,

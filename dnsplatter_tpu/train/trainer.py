@@ -59,6 +59,11 @@ class TrainConfig:
     chunk: int = 128  # pallas DMA alignment needs multiples of 128 on TPU
     tile_block: int = 32
     backend: str = "auto"  # auto -> pallas kernels on TPU, xla elsewhere
+    # Binning sort scheme passed through to RasterizeConfig. "depthq"
+    # (tile + 20-bit quantized depth in one uint32 key, no N-scale depth
+    # pre-sort) is the fastest measured production scheme at large N;
+    # "auto" keeps the exact packed/tilekey schemes.
+    sort_scheme: str = "auto"
     # K sequential optimizer steps per device dispatch (lax.scan) —
     # identical math to K single steps, but amortizes per-dispatch launch
     # latency (important behind the TPU tunnel). Must divide the
@@ -428,6 +433,7 @@ class Trainer:
             # merge): round user-provided capacities up
             pair_capacity=-(-tc.pair_capacity // tc.chunk) * tc.chunk,
             backend=backend,
+            sort_scheme=tc.sort_scheme,
         )
 
     def _shard_state(self) -> None:

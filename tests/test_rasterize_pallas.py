@@ -146,3 +146,48 @@ def test_n1m_decision_path_composition_matches_xla(monkeypatch):
         scale = max(np.abs(gx).max(), 1e-6)
         np.testing.assert_allclose(gp / scale, gx / scale, rtol=2e-2,
                                    atol=2e-3, err_msg=name)
+
+
+def test_depthq_scheme_matches_exact_and_cross_backend():
+    """sort_scheme="depthq" (no depth pre-sort; tile + 20-bit quantized
+    depth packed in the uint32 key; original-order payload table).
+    On a scene with depth gaps far above the quantization step the
+    layout must EQUAL the exact packed scheme's rendering, and the two
+    backends must stay bit-close to each other under depthq."""
+    width, height = 64, 48
+    n = 300
+    proj, opac, feats = make_scene(jax.random.PRNGKey(3), n=n, width=width,
+                                   height=height, f=7)
+    # well-separated depths (reassigned; projection geometry unchanged)
+    depths = jnp.linspace(2.0, 8.0, n)[jax.random.permutation(
+        jax.random.PRNGKey(4), n)]
+    base = RasterizeConfig(width=width, height=height, tile_size=16,
+                           chunk=32, tile_block=4, pair_capacity=1 << 14,
+                           grad_reduce="sortpack")
+    w_img = jax.random.normal(jax.random.PRNGKey(7), (height, width, 7))
+    w_a = jax.random.normal(jax.random.PRNGKey(8), (height, width, 1))
+
+    def run(cfg):
+        def loss(m, c, o, ft):
+            img, a = rasterize(m, c, depths, o, ft, proj.valid, cfg,
+                               radii=proj.radii)
+            return jnp.sum(img * w_img) + jnp.sum(a * w_a), (img, a)
+        (_, out), g = jax.value_and_grad(loss, has_aux=True, argnums=(0,))(
+            proj.means2d, proj.conics, opac, feats)
+        return out, g
+
+    out_q, g_q = run(base._replace(sort_scheme="depthq", backend="pallas"))
+    out_x, g_x = run(base._replace(sort_scheme="depthq", backend="xla"))
+    out_e, g_e = run(base._replace(backend="pallas"))  # exact auto scheme
+
+    # cross-backend parity under depthq
+    np.testing.assert_allclose(np.asarray(out_q[0]), np.asarray(out_x[0]),
+                               rtol=1e-5, atol=1e-6)
+    # depthq == exact layout when no quantization ties exist
+    np.testing.assert_allclose(np.asarray(out_q[0]), np.asarray(out_e[0]),
+                               rtol=1e-5, atol=1e-6)
+    for gq, ge in zip(g_q, g_e):
+        gq, ge = np.asarray(gq), np.asarray(ge)
+        scale = max(np.abs(ge).max(), 1e-6)
+        np.testing.assert_allclose(gq / scale, ge / scale, rtol=2e-2,
+                                   atol=2e-3)

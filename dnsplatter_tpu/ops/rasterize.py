@@ -732,7 +732,12 @@ def bin_gaussians(
             jnp.cumsum(piece_counts, axis=1).astype(jnp.int32),
         ], axis=1)
         piece_len = piece_bounds[1:] - piece_bounds[:-1]
-        piece_ok = jnp.all(piece_len <= cfg.piece_capacity)
+        # The reduction extracts each piece as whole chunk-aligned
+        # windows (no cross-lane rotate), so a piece occupies
+        # [pj % chunk, pj % chunk + len) inside its static slice.
+        piece_ok = jnp.all(
+            piece_bounds[:-1] % k + piece_len <= cfg.piece_capacity
+        )
     else:
         piece_bounds = jnp.stack(
             [jnp.zeros((), jnp.int32), starts[-1]]
@@ -1270,25 +1275,45 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
             return jnp.concatenate([per[:nlive], per[-2:]], axis=0)[:, :n]
 
         def reduce_pieces(grads):
+            # Lane-ALIGNED piece extraction: a dynamic slice at an
+            # arbitrary lane offset forces a cross-lane rotate of the
+            # whole (rows, cp) slab on TPU (~3-4 ms/row — this is what
+            # made the dynamic-piece path REGRESS end-to-end in
+            # perf/tpu_r4_probe4/7.py despite the batched sort being
+            # 11+ ms cheaper in isolation). Slicing whole chunk-windows
+            # along a middle reshape axis moves no lanes; the piece's
+            # real range [off_j, off_j + len_j) inside its
+            # window-aligned slice is selected by masking the KEY row
+            # to the sentinel — masked lanes sort past every real
+            # segment and piece_starts totals exclude them, so the
+            # grad rows need no masking at all.
             cp = cfg.piece_capacity
+            k_ = cfg.chunk
             pj = binned.piece_bounds
-            gpad = jnp.pad(grads, ((0, 0), (0, cp)))
-            kpad = jnp.pad(binned.pair_orig, (0, cp), constant_values=n)
+            c_al = grads.shape[1]
+            gwin = grads[:rows_used].reshape(rows_used, c_al // k_, k_)
+            gwin = jnp.pad(gwin, ((0, 0), (0, cp // k_), (0, 0)))
+            kpad = jnp.pad(binned.pair_orig[:c_al], (0, cp),
+                           constant_values=n).reshape(-1, k_)
             lane = jnp.arange(cp, dtype=jnp.int32)
             keyp = []
             valp = []
             for j in range(kp):
+                w0 = pj[j] // k_
+                off = pj[j] - w0 * k_
                 lenj = pj[j + 1] - pj[j]
-                kj = jax.lax.dynamic_slice(kpad, (pj[j],), (cp,))
-                keyp.append(jnp.where(lane < lenj, kj, n))
-                valp.append(jax.lax.dynamic_slice(
-                    gpad, (0, pj[j]), (rows_used, cp)
+                kj = jax.lax.dynamic_slice(
+                    kpad, (w0, 0), (cp // k_, k_)
+                ).reshape(cp)
+                keyp.append(jnp.where(
+                    (lane >= off) & (lane < off + lenj), kj, n
                 ))
-            # ONE batched (KP, cp) sort along the lane axis: the pieces
-            # share a static capacity, so stacking them lets XLA run one
-            # kp-way-parallel sorting network of length cp instead of kp
-            # sequential length-cp networks (the sort is superlinear in
-            # length, and the batch amortizes per-sort setup).
+                valp.append(jax.lax.dynamic_slice(
+                    gwin, (0, w0, 0), (rows_used, cp // k_, k_)
+                ).reshape(rows_used, cp))
+            # ONE batched (KP, cp) sort along the lane axis (the XLA
+            # sort is superlinear in row length: key+7 mono 46.1 ms vs
+            # 34.6 batched at KP=16, perf/tpu_r4_probe5.py).
             keys2 = jnp.stack(keyp, axis=0)  # (KP, cp)
             vals2 = jnp.stack(valp, axis=1)  # (rows, KP, cp)
             outs = jax.lax.sort(
@@ -1298,11 +1323,11 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
             packed = jnp.pad(jnp.stack(outs[1:], axis=1),
                              ((0, 0), (0, 0), (0, 512)))
             # The multi-reduce's chunk-visit count scales with
-            # (N/blk) * KP — scale blk with the piece count to keep
-            # visits near the mono kernel's C/chunk floor.
+            # (N/blk) * KP — scale blk with the piece count (measured
+            # 5.7-6.0 ms at kp=16 / blk>=1024 vs 13.1 mono, probe7).
             per = rp.reduce_segments_packed_multi(
                 packed, binned.piece_starts, n,
-                blk=256 if kp <= 4 else 1024,
+                blk=256 if kp <= 4 else 2048,
             )
             return jnp.concatenate([per[:nlive], per[-2:]], axis=0)[:, :n]
 

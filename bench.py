@@ -83,6 +83,12 @@ def build(backend: str, n_gauss=N_GAUSS, width=WIDTH, height=HEIGHT,
     cfg = RasterizeConfig(
         width=width, height=height, tile_size=16, chunk=128, tile_block=16,
         pair_capacity=capacity, backend=backend,
+        # Production scheme: tile + 20-bit quantized depth in one uint32
+        # key — no N-scale depth argsort, no (N,16) depth-order table
+        # gather (-8.3 ms/frame at N=1M, perf/tpu_r4_probe8.py; on-device
+        # depthq-vs-exact render rel 7.5e-6). The parity check below runs
+        # BOTH backends under this same scheme.
+        sort_scheme="depthq",
     )
     viewmat = cam.viewmat()
     fx, fy, cx, cy = (float(cam.fx), float(cam.fy), float(cam.cx),

@@ -412,11 +412,23 @@ def bin_gaussians(
         row4 = jnp.where(valid, qdf, 0.0).astype(jnp.int32)
     else:
         row4 = order.astype(jnp.int32)
-    vals = jnp.stack(
-        [jnp.arange(n, dtype=jnp.int32), offsets, jnp.maximum(w, 1), xy,
-         row4],
-        axis=0,
-    )  # (5, N) field-major
+    # The expand streams its value rows from HBM at C scale — one row
+    # is ~2.7 ms at C=5.24M (perf/tpu_r4_probe4.py chunk sweep), so the
+    # three bbox fields pack into ONE row when they fit 24 bits
+    # ((x0*128 + y0)*256 + w stays f32-exact below 2^24 for tile grids
+    # up to 127x127 — every <=2K-wide image at tile 16).
+    pack_xyw = cfg.tiles_x < 128 and cfg.tiles_y < 128
+    if pack_xyw:
+        xyw = (x0 * 128 + y0) * 256 + jnp.maximum(w, 1)
+        vals = jnp.stack(
+            [jnp.arange(n, dtype=jnp.int32), offsets, xyw, row4], axis=0
+        )  # (4, N) field-major
+    else:
+        vals = jnp.stack(
+            [jnp.arange(n, dtype=jnp.int32), offsets, jnp.maximum(w, 1),
+             xy, row4],
+            axis=0,
+        )  # (5, N) field-major
     gauss_starts = jnp.concatenate([offsets, total[None]]).astype(jnp.int32)
     # expand_segments is exact for int rows < 2^24 and any f32 rows; it
     # streams the value table from HBM when N exceeds VMEM residency, so
@@ -458,8 +470,8 @@ def bin_gaussians(
             ], axis=0)  # (11, N)
             accf = rp.expand_segments(allvals, gauss_starts, c,
                                       out_dtype=jnp.float32)
-            acc = accf[:5].astype(jnp.int32)
-            pair_flds = accf[5:]
+            acc = accf[:vals.shape[0]].astype(jnp.int32)
+            pair_flds = accf[vals.shape[0]:]
         else:
             acc = rp.expand_segments(vals, gauss_starts, c)
     else:
@@ -477,11 +489,18 @@ def bin_gaussians(
             acc = jnp.cumsum(table, axis=1)
     pair_gauss0 = acc[0]
     rank = pos - acc[1]
-    wg = jnp.maximum(acc[2], 1)
-    x0p = acc[3] // 4096
-    y0p = acc[3] % 4096
+    if pack_xyw:
+        wg = jnp.maximum(acc[2] % 256, 1)
+        x0p = acc[2] // 32768
+        y0p = (acc[2] // 256) % 128
+        row4_pair = acc[3]
+    else:
+        wg = jnp.maximum(acc[2], 1)
+        x0p = acc[3] // 4096
+        y0p = acc[3] % 4096
+        row4_pair = acc[4]
     # original gaussian id per pre-sort pair (== row 0 under depthq)
-    orig0 = pair_gauss0 if depthq else acc[4]
+    orig0 = pair_gauss0 if depthq else row4_pair
     tile_id = x0p + rank % wg + (y0p + rank // wg) * cfg.tiles_x
     tile_id = jnp.clip(tile_id, 0, t_pad)  # dead-lane overflow insurance
 
@@ -533,7 +552,7 @@ def bin_gaussians(
         # and dead lanes take qdepth == qmax (> any real value), so
         # they land at each tile's tail / past the last tile exactly
         # like the packed schemes' sentinel-gauss keys.
-        qd_pair = acc[4]
+        qd_pair = row4_pair
         bigq = jnp.uint32(qmax + 1)
         sentinel = jnp.uint32(t_pad) * bigq + jnp.uint32(qmax)
         key_real = jnp.where(

@@ -71,7 +71,7 @@ ITERS_1M = 2
 
 def build(backend: str, n_gauss=N_GAUSS, width=WIDTH, height=HEIGHT,
           capacity=PAIR_CAPACITY, grad_outputs=False, scale_shift=0.0,
-          inner_frames=INNER_FRAMES):
+          inner_frames=INNER_FRAMES, sort_scheme="auto"):
     from dnsplatter_tpu.data.synthetic import make_gt_gaussians, ring_cameras
     from dnsplatter_tpu.ops.projection import project_gaussians
     from dnsplatter_tpu.ops.rasterize import RasterizeConfig, rasterize
@@ -83,12 +83,14 @@ def build(backend: str, n_gauss=N_GAUSS, width=WIDTH, height=HEIGHT,
     cfg = RasterizeConfig(
         width=width, height=height, tile_size=16, chunk=128, tile_block=16,
         pair_capacity=capacity, backend=backend,
-        # Production scheme: tile + 20-bit quantized depth in one uint32
-        # key — no N-scale depth argsort, no (N,16) depth-order table
-        # gather (-8.3 ms/frame at N=1M, perf/tpu_r4_probe8.py; on-device
-        # depthq-vs-exact render rel 7.5e-6). The parity check below runs
-        # BOTH backends under this same scheme.
-        sort_scheme="depthq",
+        # Per-scale scheme: "depthq" (tile + 20-bit quantized depth in
+        # one uint32 key — no N-scale argsort, no (N,16) table gather)
+        # wins -8.3 ms/frame at N=1M (perf/tpu_r4_probe8.py; on-device
+        # depthq-vs-exact render rel 7.5e-6) but is ~1% slower at
+        # N=100k, where the N-scale stages it removes are already tiny
+        # — so the 100k headline keeps the exact packed scheme. The
+        # parity check runs both backends under the same scheme.
+        sort_scheme=sort_scheme,
     )
     viewmat = cam.viewmat()
     fx, fy, cx, cy = (float(cam.fx), float(cam.fy), float(cam.cx),
@@ -203,7 +205,7 @@ def main() -> None:
         mpix_1m, backend_1m = measure(
             backend, n_gauss=N_GAUSS_1M, capacity=PAIR_CAPACITY_1M,
             scale_shift=SCALE_SHIFT_1M, inner_frames=INNER_FRAMES_1M,
-            iters=ITERS_1M,
+            iters=ITERS_1M, sort_scheme="depthq",
         )
 
     print(

@@ -105,6 +105,12 @@ class TrainConfig:
     # 45 -> 39 ms/step win vs the 1<<21 default on the bench scene.
     auto_pair_capacity: bool = True
     auto_capacity_margin: float = 3.0
+    # Gaussian-state capacity (0 = default 2x the seed count, rounded
+    # to 4096). Every N-scale stage — projection, expansion boundary
+    # tables, gradient reduction, Adam — scales with CAPACITY, not the
+    # live count, so runs that densify little can set a tighter cap
+    # (overflow degrades gracefully: extra children drop).
+    capacity: int = 0
     # Observability (the reference trains with the nerfstudio viewer on
     # and surfaces metrics to wandb/tb writers; dn_config.py:69-70).
     viewer: bool = False
@@ -247,7 +253,8 @@ class Trainer:
             cols = seed_points[1] if len(seed_points) > 1 else None
             nrms = seed_points[2] if len(seed_points) > 2 else None
             self.params, self.alive, _ = init_from_points(
-                kinit, pts, cols, nrms, sh_degree=model_cfg.sh_degree
+                kinit, pts, cols, nrms, sh_degree=model_cfg.sh_degree,
+                capacity=train_cfg.capacity or None,
             )
         else:
             self.params, self.alive, _ = init_random(

@@ -51,10 +51,11 @@ NOMINAL_GSPLAT_MPIX_S = 75.0
 N_GAUSS = 100_000
 WIDTH, HEIGHT = 1024, 576
 PAIR_CAPACITY = 1_441_792  # full ~1.409M-pair scene (deterministic) + 2.3% headroom
-INNER_FRAMES = 96  # frames per dispatch (lax.scan) — amortizes the ~150 ms
+INNER_FRAMES = 192  # frames per dispatch (lax.scan) — amortizes the ~150 ms
 # big-executable dispatch overhead of the tunnel (real training batches
-# steps per dispatch the same way)
-ITERS = 3  # dispatches
+# steps per dispatch the same way; at 96 frames the overhead still cost
+# ~5% of the measured number)
+ITERS = 2  # dispatches
 
 # Second config: the reference's DEFAULT operating point — 1M seed
 # Gaussians (mushroom_dataparser.py:97-98; random fallback 500k,
@@ -65,13 +66,13 @@ ITERS = 3  # dispatches
 N_GAUSS_1M = 1_000_000
 SCALE_SHIFT_1M = -0.7675284  # -ln(10)/3
 PAIR_CAPACITY_1M = 5_242_880  # ~5.037M pairs + 4% headroom, chunk-aligned
-INNER_FRAMES_1M = 24
+INNER_FRAMES_1M = 48
 ITERS_1M = 2
 
 
 def build(backend: str, n_gauss=N_GAUSS, width=WIDTH, height=HEIGHT,
           capacity=PAIR_CAPACITY, grad_outputs=False, scale_shift=0.0,
-          inner_frames=INNER_FRAMES, sort_scheme="auto"):
+          inner_frames=INNER_FRAMES, sort_scheme="depthq"):
     from dnsplatter_tpu.data.synthetic import make_gt_gaussians, ring_cameras
     from dnsplatter_tpu.ops.projection import project_gaussians
     from dnsplatter_tpu.ops.rasterize import RasterizeConfig, rasterize
@@ -83,13 +84,13 @@ def build(backend: str, n_gauss=N_GAUSS, width=WIDTH, height=HEIGHT,
     cfg = RasterizeConfig(
         width=width, height=height, tile_size=16, chunk=128, tile_block=16,
         pair_capacity=capacity, backend=backend,
-        # Per-scale scheme: "depthq" (tile + 20-bit quantized depth in
-        # one uint32 key — no N-scale argsort, no (N,16) table gather)
-        # wins -8.3 ms/frame at N=1M (perf/tpu_r4_probe8.py; on-device
-        # depthq-vs-exact render rel 7.5e-6) but is ~1% slower at
-        # N=100k, where the N-scale stages it removes are already tiny
-        # — so the 100k headline keeps the exact packed scheme. The
-        # parity check runs both backends under the same scheme.
+        # Production scheme at BOTH scales: "depthq" (tile + 20-bit
+        # quantized depth in one uint32 key — no N-scale argsort, no
+        # (N,16) table gather). A/B'd on device: -8.3 ms/frame at N=1M
+        # (perf/tpu_r4_probe8.py) and 18.84 vs 18.75 Mpix/s at N=100k
+        # vs the exact packed scheme; on-device depthq-vs-exact render
+        # rel 7.5e-6. The parity check runs both backends under the
+        # same scheme.
         sort_scheme=sort_scheme,
     )
     viewmat = cam.viewmat()

@@ -103,6 +103,15 @@ def world_to_camera_normals(normals: jax.Array, c2w: jax.Array) -> jax.Array:
     """Rotate world normals into the (OpenGL) camera frame.
 
     Parity: dn_model.py:560 `normals @ c2w[:3, :3]` — i.e. R^T n, components
-    along the OpenGL camera axes.
+    along the OpenGL camera axes. Expanded with scalar weights instead of
+    a matmul: an (N, 3) dot_general operand takes a row-major T(8,128)
+    layout (~43x padding, ~1 GB at 2M capacity) and its transposed VJP
+    runs whenever the normal loss is on (~34 ms/step at 2M,
+    perf/tpu_train_1m_diag.py).
     """
-    return normals @ c2w[:3, :3]
+    r = c2w[:3, :3]
+    return jnp.stack(
+        [normals[..., 0] * r[0, i] + normals[..., 1] * r[1, i]
+         + normals[..., 2] * r[2, i] for i in range(3)],
+        axis=-1,
+    )

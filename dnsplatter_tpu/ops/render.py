@@ -21,7 +21,11 @@ import jax.numpy as jnp
 
 from dnsplatter_tpu.models.gaussians import GaussianParams
 from dnsplatter_tpu.ops.camera import Camera
-from dnsplatter_tpu.ops.normals import per_gaussian_normals, surface_normal_output
+from dnsplatter_tpu.ops.normals import (
+    per_gaussian_normals,
+    surface_normal_output,
+    world_to_camera_normals,
+)
 from dnsplatter_tpu.ops.projection import project_gaussians
 from dnsplatter_tpu.ops.rasterize import RasterizeConfig, rasterize
 from dnsplatter_tpu.ops.sh import eval_sh
@@ -114,7 +118,7 @@ def render(
     # Per-Gaussian world normals (flattest axis, camera-facing), rotated
     # into the camera frame exactly like dn_model.py:542-560.
     n_world = per_gaussian_normals(params.scales, params.quats, params.means, cam_pos)
-    n_cam = n_world @ camera.c2w[:3, :3]
+    n_cam = world_to_camera_normals(n_world, camera.c2w)
 
     feats = jnp.concatenate(
         [colors, n_cam, proj.depths[:, None]], axis=-1

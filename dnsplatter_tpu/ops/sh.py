@@ -116,7 +116,13 @@ def eval_sh(degree: int, coeffs: jax.Array, dirs: jax.Array) -> jax.Array:
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
     basis = sh_basis(degree, dirs)  # (..., B)
     nb = basis.shape[-1]
-    colors = jnp.einsum("...k,...kc->...c", basis, coeffs[..., :nb, :])
+    # Unrolled contraction instead of an einsum: a batched (N, K, 3)
+    # dot_general operand takes a T(4,128)-tiled layout on TPU (~57x
+    # padding; measured ~31 ms/step at 2M capacity for degree 1,
+    # perf/tpu_train_1m_diag.py) — per-k slices stay fused elementwise.
+    colors = sum(
+        basis[..., k:k + 1] * coeffs[..., k, :] for k in range(nb)
+    )
     return jnp.maximum(colors + 0.5, 0.0)
 
 

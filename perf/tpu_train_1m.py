@@ -34,7 +34,11 @@ tr = Trainer(
                           warmup_length=10_000),
     train_cfg=TrainConfig(chunk=128, tile_block=16,
                           steps_per_dispatch=10, steps_per_eval_image=0,
-                          auto_pair_capacity=True, backend="auto"),
+                          auto_pair_capacity=True, backend="auto",
+                          # -61 ms/step at this scale: the argsort and
+                          # (N,16) table gather it removes price at the
+                          # 2M CAPACITY (perf/tpu_train_1m_diag.py)
+                          sort_scheme="depthq"),
 )
 print(f"capacity: {tr.params.capacity}, pair_capacity: "
       f"{tr.train_cfg.pair_capacity}", flush=True)

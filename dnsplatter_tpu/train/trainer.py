@@ -61,9 +61,12 @@ class TrainConfig:
     backend: str = "auto"  # auto -> pallas kernels on TPU, xla elsewhere
     # Binning sort scheme passed through to RasterizeConfig. "depthq"
     # (tile + 20-bit quantized depth in one uint32 key, no N-scale depth
-    # pre-sort) is the fastest measured production scheme at large N;
-    # "auto" keeps the exact packed/tilekey schemes.
-    sort_scheme: str = "auto"
+    # pre-sort) is the fastest measured scheme at every profiled scale
+    # (-61 ms/step at 1M seeds / 2M capacity; equal-or-better at 100k)
+    # and differs from the exact schemes only by sub-2^-20-relative
+    # depth reorders (on-device render rel 7.5e-6). Set "auto" for the
+    # exact packed/tilekey schemes (oracle-exact ordering).
+    sort_scheme: str = "depthq"
     # K sequential optimizer steps per device dispatch (lax.scan) —
     # identical math to K single steps, but amortizes per-dispatch launch
     # latency (important behind the TPU tunnel). Must divide the

@@ -167,6 +167,51 @@ def measure(backend: str, **build_kw):
     return (width * height * iters * frames) / dt / 1e6, backend
 
 
+def measure_train_1m() -> float:
+    """Production-scale train step: the ACTUAL Trainer at the
+    reference-default 1M seeds (2M capacity, 4.80M pairs, full
+    depth+normal loss stack, 10 steps/dispatch) — BASELINE config #5's
+    single-chip half. Mirrors perf/tpu_train_1m.py with the audit
+    skipped (capacity pinned) so the warm compile cache applies.
+    Returns ms/step (0.0 on any failure — never breaks the JSON line;
+    trainer prints are redirected to stderr for the same reason)."""
+    import contextlib
+    try:
+      with contextlib.redirect_stdout(sys.stderr):
+        from dnsplatter_tpu.data.synthetic import make_synthetic_scene
+        from dnsplatter_tpu.models.dn_model import ModelConfig
+        from dnsplatter_tpu.train.trainer import TrainConfig, Trainer
+
+        scene = make_synthetic_scene(seed=0, n_gaussians=2000, n_cameras=8,
+                                     width=640, height=480,
+                                     pair_capacity=1 << 20)
+        pts, cols = scene.seed_points(jax.random.PRNGKey(1), noise=0.02)
+        reps = 500
+        pts = np.concatenate(
+            [pts + np.random.default_rng(i).normal(0, 0.02, pts.shape)
+             for i in range(reps)]).astype(np.float32)
+        cols = np.concatenate([cols] * reps).astype(np.float32)
+        tr = Trainer(
+            data=scene, seed_points=(pts, cols),
+            model_cfg=ModelConfig(use_depth_loss=True, depth_lambda=0.2,
+                                  use_normal_loss=True, sh_degree=1,
+                                  warmup_length=10_000),
+            train_cfg=TrainConfig(chunk=128, tile_block=16,
+                                  steps_per_dispatch=10,
+                                  steps_per_eval_image=0,
+                                  auto_pair_capacity=False,
+                                  pair_capacity=4_801_408,
+                                  backend="auto"),
+        )
+        tr.train(num_steps=20, log_every=1000)  # compile + warm
+        t0 = time.perf_counter()
+        tr.train(num_steps=30, log_every=1000)
+        return (time.perf_counter() - t0) / 30 * 1e3
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        return 0.0
+
+
 def parity_check() -> str:
     """Small-config pallas vs xla forward+gradient allclose ON DEVICE."""
     try:
@@ -202,12 +247,14 @@ def main() -> None:
     # Reference-default scale (1M Gaussians, ~5.04M pairs). On CPU the
     # config is too big for CI-style runs; report it only on TPU.
     mpix_1m, backend_1m = (0.0, "skipped(cpu)")
+    train_ms = 0.0
     if on_tpu:
         mpix_1m, backend_1m = measure(
             backend, n_gauss=N_GAUSS_1M, capacity=PAIR_CAPACITY_1M,
             scale_shift=SCALE_SHIFT_1M, inner_frames=INNER_FRAMES_1M,
             iters=ITERS_1M, sort_scheme="depthq",
         )
+        train_ms = measure_train_1m()
 
     print(
         json.dumps(
@@ -221,6 +268,7 @@ def main() -> None:
                 "value_n1m": round(mpix_1m, 3),
                 "vs_baseline_n1m": round(mpix_1m / NOMINAL_GSPLAT_MPIX_S, 4),
                 "backend_n1m": backend_1m,
+                "train_ms_step_1m": round(train_ms, 1),
             }
         )
     )

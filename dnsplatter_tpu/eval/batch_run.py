@@ -3,9 +3,12 @@
 Parity: dn_splatter/eval/batch_run.py — composes per-scene training
 command lines from an experiment config and dispatches them to available
 accelerators (the reference polls free GPUs with GPUtil and a thread pool,
-batch_run.py:449-484). On TPU the device is typically exclusive per host,
-so jobs default to sequential subprocesses; `--jobs N` runs N CPU-backed
-jobs concurrently for smoke sweeps.
+batch_run.py:449-484). `--device-slots N` is that polling's equivalent
+here: a lockfile slot pool dispatches each job as an accelerator frees
+up and pins it via CUDA_VISIBLE_DEVICES / DNSPLATTER_DEVICE_SLOT —
+file-based so it also coordinates device-exclusive TPU hosts sharing a
+filesystem. `--jobs N` alone runs N CPU-backed jobs for smoke sweeps;
+the default stays sequential.
 """
 
 from __future__ import annotations
@@ -61,22 +64,81 @@ class ExperimentConfig:
         return cmd
 
 
-def run_scene(cmd: List[str], log_path: Path) -> int:
+class DeviceSlots:
+    """Accelerator-availability dispatch (reference parity: the
+    reference polls free GPUs with GPUtil before launching each job,
+    batch_run.py:449-484). Accelerator occupancy is modeled as atomic
+    lockfiles under `root` — O_CREAT|O_EXCL acquire, unlink release —
+    which works across processes AND hosts sharing a filesystem, for
+    device-exclusive TPU hosts and multi-GPU boxes alike. The acquired
+    slot index is exported to the job via CUDA_VISIBLE_DEVICES (GPU
+    pinning) and DNSPLATTER_DEVICE_SLOT (informational elsewhere)."""
+
+    def __init__(self, root: Path, n_slots: int, poll_s: float = 5.0):
+        self.root = root
+        self.n = n_slots
+        self.poll_s = poll_s
+        root.mkdir(parents=True, exist_ok=True)
+
+    def acquire(self) -> int:
+        import os
+        import time as _time
+
+        while True:
+            for i in range(self.n):
+                try:
+                    fd = os.open(self.root / f"slot{i}.lock",
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, str(os.getpid()).encode())
+                    os.close(fd)
+                    return i
+                except FileExistsError:
+                    continue
+            _time.sleep(self.poll_s)
+
+    def release(self, i: int) -> None:
+        try:
+            (self.root / f"slot{i}.lock").unlink()
+        except FileNotFoundError:
+            pass
+
+
+def run_scene(cmd: List[str], log_path: Path,
+              slots: Optional[DeviceSlots] = None) -> int:
+    import os
+
     log_path.parent.mkdir(parents=True, exist_ok=True)
-    with open(log_path, "w") as log:
-        proc = subprocess.run(cmd, stdout=log, stderr=subprocess.STDOUT)
-    return proc.returncode
+    slot = slots.acquire() if slots is not None else None
+    env = None
+    if slot is not None:
+        env = dict(os.environ)
+        env["CUDA_VISIBLE_DEVICES"] = str(slot)
+        env["DNSPLATTER_DEVICE_SLOT"] = str(slot)
+    try:
+        with open(log_path, "w") as log:
+            proc = subprocess.run(cmd, stdout=log, stderr=subprocess.STDOUT,
+                                  env=env)
+        return proc.returncode
+    finally:
+        if slot is not None:
+            slots.release(slot)
 
 
 def dispatch_jobs(cfg: ExperimentConfig, data_root: Path, out_root: Path,
-                  scenes: List[str], jobs: int = 1) -> Dict[str, int]:
+                  scenes: List[str], jobs: int = 1,
+                  device_slots: int = 0) -> Dict[str, int]:
     results: Dict[str, int] = {}
+    slots = (DeviceSlots(out_root / ".slots", device_slots)
+             if device_slots > 0 else None)
+    if slots is not None and jobs <= 1:
+        jobs = device_slots  # availability dispatch implies concurrency
     if jobs <= 1:
         for scene in scenes:
             print(f"[batch_run] {scene} ...", flush=True)
             results[scene] = run_scene(
                 cfg.command(data_root, scene, out_root),
                 out_root / scene / "train.log",
+                slots,
             )
     else:
         with ThreadPoolExecutor(max_workers=jobs) as ex:
@@ -85,6 +147,7 @@ def dispatch_jobs(cfg: ExperimentConfig, data_root: Path, out_root: Path,
                     run_scene,
                     cfg.command(data_root, scene, out_root),
                     out_root / scene / "train.log",
+                    slots,
                 )
                 for scene in scenes
             }
@@ -103,6 +166,10 @@ def main(argv=None):
     p.add_argument("--scenes", nargs="*", default=None)
     p.add_argument("--method", default="dn-splatter")
     p.add_argument("--jobs", type=int, default=1)
+    p.add_argument("--device-slots", type=int, default=0,
+                   help="dispatch jobs to N accelerator slots as they free "
+                        "up (lockfile pool; pins CUDA_VISIBLE_DEVICES per "
+                        "job — the reference's GPUtil polling equivalent)")
     p.add_argument("--max-iterations", type=int, default=30000)
     args = p.parse_args(argv)
 
@@ -112,7 +179,7 @@ def main(argv=None):
     )
     scenes = args.scenes or DATASET_SCENES[args.dataset]
     results = dispatch_jobs(cfg, args.data_root, args.output_root, scenes,
-                            args.jobs)
+                            args.jobs, device_slots=args.device_slots)
     bad = {s: c for s, c in results.items() if c != 0}
     print(f"done: {len(results) - len(bad)} ok, {len(bad)} failed {bad}")
 

@@ -143,6 +143,31 @@ class RasterizeConfig(NamedTuple):
     # so 0 = auto resolves to 1 (monolithic). The piecewise path stays
     # available for configs where static piece boundaries apply.
     reduce_pieces: int = 0
+    # Live-window compaction of the backward gradient slab (pallas
+    # sortpack, reduce_pieces == 1). The forward records each tile's
+    # deepest contributor (`last`); every slab window (128-lane chunk
+    # piece) holding only pairs past its tile's last contributor is
+    # provably all-zero gradient, and ~40-60% of windows are dead at the
+    # bench scenes (tile-level early termination) — yet the reduction
+    # sort is priced by its STATIC lane count. This knob drops dead
+    # windows before the sort:
+    #   0.0     — legacy path: staged head-window scatter-merge +
+    #             pair_orig-keyed monolithic sort + boundary
+    #             reduce_segments_packed (orig_starts).
+    #   (0, 1)  — keep at most ceil(frac * nwin) live windows
+    #             (whole-window gathers are aligned (8, 128)-tile moves,
+    #             no cross-lane rotate), APPEND the staged head windows
+    #             to the sort input (keyed by the same pair_orig
+    #             windows) instead of scatter-merging them, sort the
+    #             shorter slab, and reduce with the key-equality kernel
+    #             (reduce_segments_bykey — boundary-free, so the
+    #             data-dependent drop needs no N-scale orig_starts
+    #             recovery). Falls back at RUNTIME (lax.cond) to the
+    #             uncompacted bykey path if a frame's live windows
+    #             exceed the static budget.
+    #   1.0     — bykey path without window dropping (stage append +
+    #             merge elimination only).
+    compact_frac: float = 0.0
 
     @property
     def tiles_x(self) -> int:
@@ -1220,6 +1245,121 @@ def _unpack_bf16_2(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return a, b
 
 
+def _reduce_bykey(cfg, binned, grads, stage, last_t, f, n, w0):
+    """Gradient reduction with live-window compaction (compact_frac > 0).
+
+    The reference role is gsplat's backward touching only contributing
+    splats (rasterize_to_pixels bwd skips past the per-pixel last
+    contributor); here the same information (`last`, recorded by the
+    forward) drops provably-zero slab WINDOWS before the reduction sort,
+    whose cost is set by its static lane count (~2.9 ms per M rows of
+    payload at C=5.24M — the single largest backward stage, see
+    perf/ROOFLINE.md). Three structural changes vs the legacy path:
+
+      * whole-window (128-lane) compaction: `jnp.take` over the window
+        axis moves aligned (8, 128) tiles only — no cross-lane rotate
+        (the piece-extraction trap that killed the round-4 piecewise
+        reduction, perf/tpu_r4_probe8.py);
+      * the staged head windows are APPENDED to the sort input, keyed
+        by the same `pair_orig` windows, replacing the ~4 ms/frame
+        scatter-merge RMW over the 100+ MB slab (their unowned lanes
+        are integer zeros; slab lanes they would have merged into keep
+        their own keys and values — the two contributions reach the
+        same gaussian through the sort instead of through lane overlap);
+      * keys are NOT masked for dead pairs: dead lanes inside kept
+        windows carry real ids with exact-zero (±0.0 bf16) values, so
+        sums are unchanged; dropped windows never meet the sort. Since
+        the surviving pair multiset is data-dependent, per-gaussian
+        segment boundaries have no closed form — the key-equality
+        reduce kernel (reduce_segments_bykey) needs only ~N/256 coarse
+        bounds from one small searchsorted.
+    """
+    from dnsplatter_tpu.ops import rasterize_pallas as rp
+
+    k = cfg.chunk
+    nwin = grads.shape[1] // k
+    t_pad = cfg.n_tiles_padded
+    nlive = 6 + f
+    ru = (nlive + 1) // 2
+
+    g_used = grads[:ru]  # (RU, C_al) int32 bf16-pair rows
+    st = stage[:, :ru]  # (T_pad, RU, k) staged head windows
+    keys_w = binned.pair_orig.reshape(nwin, k)
+    st_keys = jnp.take(keys_w, w0, axis=0)  # (T_pad, k)
+
+    blk = 256
+    n_pad = -(-n // blk) * blk
+
+    def run(vals, keys):
+        # vals (RU, Lw) int32, keys (Lw,) int32; append the staged head
+        # windows, sort by gaussian id with the id riding as an int32
+        # row, and reduce by key equality.
+        vals = jnp.concatenate(
+            [vals, jnp.moveaxis(st, 0, 1).reshape(ru, -1)], axis=1
+        )
+        keys = jnp.concatenate([keys, st_keys.reshape(-1)])
+        outs = jax.lax.sort(
+            (keys,) + tuple(vals[i] for i in range(ru)), num_keys=1
+        )
+        rows = list(outs[1:]) + [outs[0]]  # key row lands at index ru
+        while len(rows) < 8:
+            rows.append(jnp.zeros_like(rows[0]))
+        # +chunk zero-value lanes of DMA overrun room past coarse[-1]
+        slab = jnp.pad(jnp.stack(rows, axis=0), ((0, 0), (0, 512)))
+        qs = jnp.minimum(
+            jnp.arange(n_pad // blk + 1, dtype=jnp.int32) * blk, n
+        )
+        coarse = jnp.searchsorted(outs[0], qs, side="left").astype(
+            jnp.int32
+        )
+        return rp.reduce_segments_bykey(slab, coarse, ru, n, blk=blk)
+
+    frac = cfg.compact_frac
+    if frac >= 1.0:
+        per = run(g_used, binned.pair_orig)
+    else:
+        # Live-window mask: window w survives iff ANY tile still has
+        # pairs at or before its deepest contributor in w. Per tile the
+        # live lanes are [starts[t], starts[t] + lc[t]); the union of
+        # the window ranges is marked with a +1/-1 diff scatter (~T_pad
+        # rows) and a cumsum.
+        p = cfg.tile_size * cfg.tile_size
+        ml = jnp.max(last_t.reshape(t_pad, p), axis=1)  # (T_pad,)
+        lc = jnp.minimum(ml + 1, binned.counts)
+        s = binned.starts[:-1]
+        has = (lc > 0).astype(jnp.int32)
+        w_hi = (s + lc + k - 1) // k  # exclusive end window
+        mark = jnp.zeros((nwin + 1,), jnp.int32)
+        mark = mark.at[w0].add(has).at[w_hi].add(-has)
+        live_w = jnp.cumsum(mark[:-1]) > 0
+        nlive_w = jnp.sum(live_w.astype(jnp.int32))
+        w_cap = max(min(int(nwin * frac) + 1, nwin), 1)
+        _, widx = jax.lax.sort(
+            (jnp.where(live_w, 0, 1).astype(jnp.int32),
+             jnp.arange(nwin, dtype=jnp.int32)),
+            num_keys=1, is_stable=True,
+        )
+        widx_c = widx[:w_cap]
+
+        def compact(_):
+            # Whole-window gathers: aligned (8, 128) tile moves. Over-
+            # selected dead windows (when nlive_w < w_cap) carry real
+            # keys with exact-zero values — harmless.
+            v = jnp.take(g_used.reshape(ru, nwin, k), widx_c, axis=1)
+            kk = jnp.take(keys_w, widx_c, axis=0)
+            return run(v.reshape(ru, -1), kk.reshape(-1))
+
+        def full(_):
+            return run(g_used, binned.pair_orig)
+
+        per = jax.lax.cond(nlive_w <= w_cap, compact, full, None)
+
+    outp = jnp.concatenate(
+        [per[:nlive], per[2 * ru:2 * ru + 2]], axis=0
+    )[:, :n]
+    return outp.T
+
+
 def _raster_bwd_pallas(cfg, residuals, cotangents):
     from dnsplatter_tpu.ops import rasterize_pallas as rp
 
@@ -1239,21 +1379,27 @@ def _raster_bwd_pallas(cfg, residuals, cotangents):
     )  # field-major per-pair grads + staged head windows + chunk counts
     del nch  # diagnostics only: unwritten slab columns are zeros (aliased)
 
-    # Dense CSR: merge each tile's staged head window into the slab at
-    # window starts[t] // chunk. At any lane at most one contributor is
-    # nonzero (owned lanes are disjoint; the slab holds zeros under every
-    # staged lane), so a scatter-ADD is exact — including on the
-    # bf16-packed int32 rows, where add degenerates to select-nonzero.
     k = cfg.chunk
     nwin = grads.shape[1] // k
     w0 = binned.starts[:-1] // k  # (T_pad,) head-window index per tile
-    grads = (
-        grads.reshape(grads.shape[0], nwin, k)
-        .at[:, w0].add(jnp.moveaxis(stage, 0, 1))
-        .reshape(grads.shape[0], nwin * k)
-    )
+    use_bykey = (pack_grads and cfg.n_reduce_pieces == 1
+                 and cfg.compact_frac > 0.0)
+    if not use_bykey:
+        # Dense CSR: merge each tile's staged head window into the slab
+        # at window starts[t] // chunk. At any lane at most one
+        # contributor is nonzero (owned lanes are disjoint; the slab
+        # holds zeros under every staged lane), so a scatter-ADD is
+        # exact — including on the bf16-packed int32 rows, where add
+        # degenerates to select-nonzero.
+        grads = (
+            grads.reshape(grads.shape[0], nwin, k)
+            .at[:, w0].add(jnp.moveaxis(stage, 0, 1))
+            .reshape(grads.shape[0], nwin * k)
+        )
 
-    if pack_grads:
+    if use_bykey:
+        out = _reduce_bykey(cfg, binned, grads, stage, last_t, f, n, w0)
+    elif pack_grads:
         # Per-Gaussian reduction via variadic sort(s) keyed on each
         # pair's ORIGINAL gaussian id + the MXU reduce_segments kernels.
         # The backward kernel already emitted the 6 + F live gradient

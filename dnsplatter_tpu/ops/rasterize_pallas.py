@@ -785,6 +785,124 @@ def reduce_segments_packed(
     )
 
 
+def _make_reduce_bykey_kernel(ru: int, chunk: int, blk: int):
+    """Segment reduction KEYED BY VALUE instead of by position: the slab
+    arrives sorted by each pair's ORIGINAL gaussian id, with the id
+    riding as int32 row `ru` of the slab itself (rows 0..ru-1 are the
+    bf16-packed gradient pairs). The per-block onehot is built by
+    EQUALITY against the block's gaussian ids — `(1, CH) keys ==
+    (BLK, 1) ids` broadcasts natively on the VPU (no lane->sublane
+    transpose), and the contraction runs with BOTH operands lane-major
+    (dot_general contracting dims (1, 1), the same MXU form the forward
+    kernel's feature matmul uses). This removes the need for exact
+    per-gaussian segment boundaries entirely: after live-window
+    compaction drops a data-dependent subset of pairs, closed-form
+    `orig_starts` no longer exist, and recovering them would cost an
+    N-scale searchsorted/scatter (measured 20+ ms at N=1M) — the only
+    boundary information this kernel needs is ~N/blk coarse block
+    bounds. Lanes whose key falls outside the block's [g0, g0+blk)
+    range (dead pairs keyed by a neighbour, zero-value padding keyed 0,
+    sentinel-N tails) match nothing or add exact zeros."""
+    gw = -(-(2 * ru + 2) // 8) * 8
+
+    def kernel(coarse_sref, slab_hbm, out_ref, g_vmem, sems):
+        b = pl.program_id(0)
+        l0 = pl.multiple_of((coarse_sref[b] // chunk) * chunk, chunk)
+        l1 = coarse_sref[b + 1]
+        nch = pl.cdiv(jnp.maximum(l1 - l0, 0), chunk)
+        gids = b * blk + jax.lax.broadcasted_iota(
+            jnp.int32, (blk, 1), 0
+        )  # (BLK, 1) this block's gaussian ids
+
+        def dma(slot, j):
+            return pltpu.make_async_copy(
+                slab_hbm.at[:, pl.ds(l0 + j * chunk, chunk)],
+                g_vmem.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(nch > 0)
+        def _():
+            dma(0, 0).start()
+
+        def body(j, acc):
+            slot = j % 2
+
+            @pl.when(j + 1 < nch)
+            def _():
+                dma((j + 1) % 2, j + 1).start()
+
+            dma(slot, j).wait()
+            g = g_vmem[slot]  # (8, CH) int32: bf16 pairs + key row
+            hi = jax.lax.bitcast_convert_type(
+                g & jnp.int32(-65536), jnp.float32
+            )
+            lo = jax.lax.bitcast_convert_type(g << 16, jnp.float32)
+            rows = []
+            for i in range(ru):
+                rows += [hi[i:i + 1], lo[i:i + 1]]
+            rows += [jnp.abs(rows[0]), jnp.abs(rows[1])]
+            while len(rows) < gw:
+                rows.append(jnp.zeros_like(rows[0]))
+            vals = jnp.concatenate(rows, axis=0)  # (GW, CH)
+            keys = g[ru:ru + 1]  # (1, CH)
+            onehot_t = (keys == gids).astype(jnp.float32)  # (BLK, CH)
+            return acc + jax.lax.dot_general(
+                vals, onehot_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        acc = jax.lax.fori_loop(
+            0, nch, body, jnp.zeros((gw, blk), jnp.float32)
+        )
+        out_ref[0] = acc
+
+    return kernel
+
+
+def reduce_segments_bykey(
+    slab: jax.Array,  # (8, L) int32: rows 0..ru-1 bf16 pairs, row ru keys
+    coarse: jax.Array,  # (n_pad//blk + 1,) int32 block lane bounds
+    ru: int,  # number of packed value rows (key row index)
+    n: int,
+    chunk: int = 512,
+    blk: int = 256,
+) -> jax.Array:
+    """Per-Gaussian sums over a KEY-SORTED packed slab (see the kernel
+    docstring). `coarse[b]` is the first lane whose key is >= b * blk
+    (from one ~N/blk-query searchsorted on the sorted key row) and the
+    slab must extend >= `chunk` zero-value lanes past coarse[-1].
+    Returns (2*ru + 2, n_pad): decoded field sums + |field0|, |field1|
+    (absgrad), original parameter order."""
+    assert slab.shape[0] == 8 and ru < 8
+    gw = -(-(2 * ru + 2) // 8) * 8
+    n_pad = -(-n // blk) * blk
+    kernel = _make_reduce_bykey_kernel(ru, chunk, blk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pad // blk,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, gw, blk), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, chunk), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_pad // blk, gw, blk),
+                                        jnp.float32)],
+        interpret=_interpret(),
+    )(coarse, slab)
+    res = jnp.moveaxis(out, 1, 0).reshape(gw, n_pad)
+    return jnp.concatenate([res[:2 * ru], res[2 * ru:2 * ru + 2]], axis=0)
+
+
 def _make_reduce_packed_multi_kernel(kp: int, pr: int, chunk: int,
                                      blk: int, nb1: int):
     """reduce_segments_packed over KP independently-sorted slab PIECES:

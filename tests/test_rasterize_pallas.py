@@ -87,14 +87,31 @@ def test_pallas_backward_matches_xla(grad_reduce, rtol, atol):
                                    atol=atol, err_msg=name)
 
 
-def test_n1m_decision_path_composition_matches_xla(monkeypatch):
+@pytest.mark.parametrize("sort_scheme,reduce_pieces,compact_frac", [
+    # THE shipping default composition (bench.py + Trainer at N=1M):
+    # depthq key + streamed expand + sortpack + live-window compaction.
+    ("depthq", 0, 0.625),
+    # runtime fallback leg: a tiny static window budget forces the
+    # lax.cond onto the uncompacted bykey path
+    ("depthq", 0, 0.02),
+    # bykey without window dropping (stage append + merge elimination)
+    ("depthq", 0, 1.0),
+    # legacy compositions kept honest: packed32 key + merge + boundary
+    # reduce, monolithic and piecewise
+    ("packed32", 0, 0.0),
+    ("packed32", 4, 0.0),
+])
+def test_n1m_decision_path_composition_matches_xla(monkeypatch, sort_scheme,
+                                                   reduce_pieces,
+                                                   compact_frac):
     """Regression pin for the EXACT composition the N=1M bench config
-    takes (bench.py N_GAUSS_1M): sort_scheme packed32 + the STREAMED
+    takes (bench.py N_GAUSS_1M): the shipping sort scheme + the STREAMED
     expand_segments (value table past VMEM residency) + sortpack
-    gradient reduction + the full 7-feature payload (rgb+normal+depth),
-    exercised end-to-end at toy sizes against the XLA backend. The
-    individual pieces are layout-tested elsewhere (test_binning.py);
-    this asserts their composition through the full custom-VJP path."""
+    gradient reduction (with live-window compaction) + the full
+    7-feature payload (rgb+normal+depth), exercised end-to-end at toy
+    sizes against the XLA backend. The individual pieces are
+    layout-tested elsewhere (test_binning.py); this asserts their
+    composition through the full custom-VJP path."""
     from dnsplatter_tpu.ops import rasterize_pallas as rp
 
     # Force the streamed expand at toy N (the 1M path crosses
@@ -113,8 +130,9 @@ def test_n1m_decision_path_composition_matches_xla(monkeypatch):
     feats = jax.random.uniform(jax.random.PRNGKey(6), (350, 7))
     base = RasterizeConfig(width=width, height=height, tile_size=16,
                            chunk=32, tile_block=4, pair_capacity=1 << 14,
-                           grad_reduce="sortpack", sort_scheme="packed32",
-                           reduce_pieces=4)
+                           grad_reduce="sortpack", sort_scheme=sort_scheme,
+                           reduce_pieces=reduce_pieces,
+                           compact_frac=compact_frac)
     w_img = jax.random.normal(jax.random.PRNGKey(7), (height, width, 7))
     w_a = jax.random.normal(jax.random.PRNGKey(8), (height, width, 1))
     sink = jnp.zeros_like(proj.means2d)
@@ -146,6 +164,45 @@ def test_n1m_decision_path_composition_matches_xla(monkeypatch):
         scale = max(np.abs(gx).max(), 1e-6)
         np.testing.assert_allclose(gp / scale, gx / scale, rtol=2e-2,
                                    atol=2e-3, err_msg=name)
+
+
+def test_compaction_drops_no_contributing_pair():
+    """Live-window compaction must be a pure re-summation: the compact
+    path (dead windows dropped, stage appended, key-equality reduce)
+    and the legacy path (merge + boundary reduce) see the SAME bf16
+    per-pair gradient values, so their per-Gaussian sums may differ
+    only by f32 summation order (~ulps). A heavy-overdraw scene with
+    an opaque near layer maximizes early termination — the config
+    where most windows are dead and a dropped live window would show
+    up as a large gradient error."""
+    width, height = 64, 48
+    n = 400
+    proj, opac, feats = make_scene(jax.random.PRNGKey(9), n=n, width=width,
+                                   height=height, f=4)
+    opac = jnp.where(proj.depths < jnp.median(proj.depths), 0.98, opac)
+    base = RasterizeConfig(width=width, height=height, tile_size=16,
+                           chunk=32, tile_block=4, pair_capacity=1 << 14,
+                           grad_reduce="sortpack", sort_scheme="depthq")
+    w_img = jax.random.normal(jax.random.PRNGKey(7), (height, width, 4))
+    w_a = jax.random.normal(jax.random.PRNGKey(8), (height, width, 1))
+    sink = jnp.zeros_like(proj.means2d)
+
+    def grads_for(cfg):
+        def loss(m, c, o, ft, s):
+            img, a = rasterize(m, c, proj.depths, o, ft, proj.valid, cfg,
+                               absgrad_sink=s, radii=proj.radii)
+            return jnp.sum(img * w_img) + jnp.sum(a * w_a)
+        return jax.grad(lambda *a: loss(*a), argnums=(0, 1, 2, 3, 4))(
+            proj.means2d, proj.conics, opac, feats, sink)
+
+    g_legacy = grads_for(base._replace(backend="pallas", compact_frac=0.0))
+    g_compact = grads_for(base._replace(backend="pallas", compact_frac=0.625))
+    for name, ga, gb in zip(["means2d", "conics", "opac", "feats", "abs"],
+                            g_legacy, g_compact):
+        ga, gb = np.asarray(ga), np.asarray(gb)
+        scale = max(np.abs(ga).max(), 1e-6)
+        np.testing.assert_allclose(gb / scale, ga / scale, rtol=1e-4,
+                                   atol=1e-5, err_msg=name)
 
 
 def test_depthq_scheme_matches_exact_and_cross_backend():

@@ -167,14 +167,20 @@ def measure(backend: str, **build_kw):
     return (width * height * iters * frames) / dt / 1e6, backend
 
 
-def measure_train_1m() -> float:
+def measure_train_1m():
     """Production-scale train step: the ACTUAL Trainer at the
-    reference-default 1M seeds (2M capacity, 4.80M pairs, full
-    depth+normal loss stack, 10 steps/dispatch) — BASELINE config #5's
-    single-chip half. Mirrors perf/tpu_train_1m.py with the audit
-    skipped (capacity pinned) so the warm compile cache applies.
-    Returns ms/step (0.0 on any failure — never breaks the JSON line;
-    trainer prints are redirected to stderr for the same reason)."""
+    reference-default 1M seeds with the SHIPPING defaults — in
+    particular the measured-best capacity policy (capacity_margin x
+    seeds + growth-on-overflow, TrainConfig.capacity docstring) — and
+    the full depth+normal loss stack at 10 steps/dispatch; BASELINE
+    config #5's single-chip half. Mirrors perf/tpu_train_1m.py with the
+    pair audit skipped (pinned to its audited value) so the warm
+    compile cache applies.
+
+    Returns (ms/step or None, gaussian-state capacity priced, error
+    string or None) — a failure is reported as an explicit null +
+    "train_error_1m" in the JSON, NEVER as a readable 0.0 (trainer
+    prints go to stderr so the JSON line stays alone on stdout)."""
     import contextlib
     try:
       with contextlib.redirect_stdout(sys.stderr):
@@ -206,10 +212,11 @@ def measure_train_1m() -> float:
         tr.train(num_steps=20, log_every=1000)  # compile + warm
         t0 = time.perf_counter()
         tr.train(num_steps=30, log_every=1000)
-        return (time.perf_counter() - t0) / 30 * 1e3
-    except Exception:
+        ms = (time.perf_counter() - t0) / 30 * 1e3
+        return ms, int(tr.params.capacity), None
+    except Exception as e:
         traceback.print_exc(file=sys.stderr)
-        return 0.0
+        return None, None, f"{type(e).__name__}: {e}"
 
 
 def parity_check() -> str:
@@ -247,31 +254,34 @@ def main() -> None:
     # Reference-default scale (1M Gaussians, ~5.04M pairs). On CPU the
     # config is too big for CI-style runs; report it only on TPU.
     mpix_1m, backend_1m = (0.0, "skipped(cpu)")
-    train_ms = 0.0
+    train_ms, train_cap, train_err = None, None, "skipped(cpu)"
     if on_tpu:
         mpix_1m, backend_1m = measure(
             backend, n_gauss=N_GAUSS_1M, capacity=PAIR_CAPACITY_1M,
             scale_shift=SCALE_SHIFT_1M, inner_frames=INNER_FRAMES_1M,
             iters=ITERS_1M, sort_scheme="depthq",
         )
-        train_ms = measure_train_1m()
+        train_ms, train_cap, train_err = measure_train_1m()
 
-    print(
-        json.dumps(
-            {
-                "metric": "rasterize_fwd_bwd_throughput",
-                "value": round(mpix_s, 3),
-                "unit": "Mpixels/s",
-                "vs_baseline": round(mpix_s / NOMINAL_GSPLAT_MPIX_S, 4),
-                "backend": backend_used,
-                "parity": parity,
-                "value_n1m": round(mpix_1m, 3),
-                "vs_baseline_n1m": round(mpix_1m / NOMINAL_GSPLAT_MPIX_S, 4),
-                "backend_n1m": backend_1m,
-                "train_ms_step_1m": round(train_ms, 1),
-            }
-        )
-    )
+    line = {
+        "metric": "rasterize_fwd_bwd_throughput",
+        "value": round(mpix_s, 3),
+        "unit": "Mpixels/s",
+        "vs_baseline": round(mpix_s / NOMINAL_GSPLAT_MPIX_S, 4),
+        "backend": backend_used,
+        "parity": parity,
+        "value_n1m": round(mpix_1m, 3),
+        "vs_baseline_n1m": round(mpix_1m / NOMINAL_GSPLAT_MPIX_S, 4),
+        "backend_n1m": backend_1m,
+        # null + train_error_1m on failure — a crash must never be
+        # readable as a (0.0) measurement by a round-diffing driver
+        "train_ms_step_1m": (None if train_ms is None
+                             else round(train_ms, 1)),
+        "train_capacity_1m": train_cap,
+    }
+    if train_err is not None:
+        line["train_error_1m"] = train_err
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

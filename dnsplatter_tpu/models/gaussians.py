@@ -169,6 +169,42 @@ def init_from_points(
     return params, alive, jnp.asarray(n, jnp.int32)
 
 
+def grow_capacity(
+    params: GaussianParams,
+    alive: jax.Array,
+    new_capacity: int,
+) -> Tuple[GaussianParams, jax.Array]:
+    """Re-pad the state to a larger capacity (a recompile boundary).
+
+    Every N-scale stage prices CAPACITY, not the live count (the 1M-seed
+    train step measured 247 ms at 2x-padded capacity vs 153 ms right-
+    sized — perf/tpu_train_1m_diag.py), so the Trainer starts tight
+    (TrainConfig.capacity_margin) and grows here only when densification
+    approaches the ceiling. Pad fills match init_from_points' dead-slot
+    convention (identity quats, log-scale -10, opacity logit -15)."""
+    c = params.capacity
+    if new_capacity <= c:
+        return params, alive
+    pad = new_capacity - c
+
+    def padz(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0
+        )
+
+    quats_tail = jnp.zeros((pad, 4), jnp.float32).at[:, 0].set(1.0)
+    params = GaussianParams(
+        means=padz(params.means),
+        scales=padz(params.scales, -10.0),
+        quats=jnp.concatenate([params.quats, quats_tail], axis=0),
+        features_dc=padz(params.features_dc),
+        features_rest=padz(params.features_rest),
+        opacities=padz(params.opacities, -15.0),
+        normals=padz(params.normals),
+    )
+    return params, padz(alive)
+
+
 def init_random(
     key: jax.Array,
     num_points: int = 500_000,

@@ -108,12 +108,20 @@ class TrainConfig:
     # 45 -> 39 ms/step win vs the 1<<21 default on the bench scene.
     auto_pair_capacity: bool = True
     auto_capacity_margin: float = 3.0
-    # Gaussian-state capacity (0 = default 2x the seed count, rounded
-    # to 4096). Every N-scale stage — projection, expansion boundary
-    # tables, gradient reduction, Adam — scales with CAPACITY, not the
-    # live count, so runs that densify little can set a tighter cap
-    # (overflow degrades gracefully: extra children drop).
+    # Gaussian-state capacity (0 = capacity_margin x the seed count,
+    # rounded to 4096). Every N-scale stage — projection, expansion
+    # boundary tables, gradient reduction, Adam — scales with CAPACITY,
+    # not the live count (measured 247 -> 153 ms/step at 1M seeds when
+    # the 2x default padding was cut to 1.2x, perf/tpu_train_1m_diag.py),
+    # so the default starts tight and GROWS on demand: when a densify
+    # event fills >= 95% of capacity, the state is re-padded to
+    # capacity_growth x (a host-side recompile boundary — jit retraces
+    # on the new shapes; rare by construction). capacity_growth <= 1
+    # disables growth (densify overflow then degrades gracefully by
+    # dropping extra children).
     capacity: int = 0
+    capacity_margin: float = 1.25
+    capacity_growth: float = 1.5
     # Observability (the reference trains with the nerfstudio viewer on
     # and surfaces metrics to wandb/tb writers; dn_config.py:69-70).
     viewer: bool = False
@@ -255,9 +263,16 @@ class Trainer:
             pts = seed_points[0]
             cols = seed_points[1] if len(seed_points) > 1 else None
             nrms = seed_points[2] if len(seed_points) > 2 else None
+            cap = train_cfg.capacity
+            if not cap:
+                # measured-best default: tight margin + growth-on-overflow
+                # (see TrainConfig.capacity docstring)
+                n_seed = int(pts.shape[0])
+                cap = max(4096, int(np.ceil(
+                    train_cfg.capacity_margin * n_seed / 4096) * 4096))
             self.params, self.alive, _ = init_from_points(
                 kinit, pts, cols, nrms, sh_degree=model_cfg.sh_degree,
-                capacity=train_cfg.capacity or None,
+                capacity=cap,
             )
         else:
             self.params, self.alive, _ = init_random(
@@ -520,6 +535,7 @@ class Trainer:
                 cfg, self.params, self.alive, self.adam, self.stats,
                 kref, step, max_size,
             )
+            self._maybe_grow_capacity()
         elif step >= cfg.stop_split_at and cfg.continue_cull_post_densification:
             self.params, self.alive, self.adam, self.stats = cull_only(
                 cfg, self.params, self.alive, self.adam, self.stats, step
@@ -534,6 +550,47 @@ class Trainer:
             # output layouts are compiler-chosen; re-pin so the next train
             # step sees the expected Gaussian-axis sharding.
             self._shard_state()
+
+    def _maybe_grow_capacity(self) -> None:
+        """Grow the Gaussian-state capacity after a densify event that
+        approaches the ceiling (see TrainConfig.capacity docstring).
+        Runs right after densify_and_cull, where RefineStats were just
+        re-zeroed — so re-initializing them at the new capacity is
+        exact. Adam moments pad with zeros (fresh slots have no
+        history, matching the reference's param-group surgery for new
+        Gaussians)."""
+        tc = self.train_cfg
+        if tc.capacity_growth <= 1.0:
+            return
+        cap = self.params.capacity
+        n_alive = int(jnp.sum(self.alive))
+        if n_alive < int(0.95 * cap):
+            return
+        new_cap = int(np.ceil(cap * tc.capacity_growth / 4096) * 4096)
+        from dnsplatter_tpu.models.gaussians import grow_capacity
+
+        self.params, self.alive = grow_capacity(self.params, self.alive,
+                                                new_cap)
+        pad = new_cap - cap
+
+        def padz(x):
+            if x.ndim == 0:
+                return x
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+            )
+
+        self.adam = AdamState(
+            mu=jax.tree.map(padz, self.adam.mu),
+            nu=jax.tree.map(padz, self.adam.nu),
+            count=self.adam.count,
+            accum=jax.tree.map(padz, self.adam.accum),
+        )
+        self.stats = init_stats(new_cap)
+        if self.mesh is not None:
+            self._shard_state()
+        print(f"capacity grown: {cap} -> {new_cap} "
+              f"({n_alive} alive)", flush=True)
 
     def eval_image(self, index: int = 0, eval_data=None) -> Dict[str, float]:
         """Render one eval frame and compute quick metrics (the

@@ -141,6 +141,64 @@ def test_refinement_transforms():
     assert float(jnp.max(jnp.where(a2 > 0.5, p4.opacities, -100.0))) <= max_logit + 1e-5
 
 
+def test_capacity_growth_on_overflow():
+    """The shipping capacity policy: start tight (capacity_margin x
+    seeds) and grow when a densify event fills >= 95% of capacity
+    (TrainConfig.capacity docstring). Pins (a) the growth trigger fires
+    through the real refinement cadence, (b) training continues across
+    the recompile boundary with finite loss, (c) grown dead slots stay
+    dead (alive mask)."""
+    scene = make_synthetic_scene(seed=0, n_gaussians=300, n_cameras=4,
+                                 width=64, height=48,
+                                 pair_capacity=1 << 14)
+    pts, cols = scene.seed_points(jax.random.PRNGKey(1), noise=0.03)
+    trainer = Trainer(
+        data=scene,
+        seed_points=(pts, cols),
+        model_cfg=ModelConfig(
+            warmup_length=2, refine_every=4, reset_alpha_every=1000,
+            densify_grad_thresh=1e-9,  # densify everything visible
+            densify_size_thresh=1e9,   # ... by duplication
+            sh_degree=1, num_downscales=0,
+        ),
+        train_cfg=TrainConfig(pair_capacity=1 << 14, chunk=32, tile_block=4,
+                              seed=3, capacity=320, capacity_growth=1.5,
+                              steps_per_eval_image=0),
+    )
+    assert trainer.params.capacity == 320
+    n0 = int(jnp.sum(trainer.alive))
+    hist = trainer.train(num_steps=30, log_every=10)
+    assert trainer.params.capacity > 320, "growth never triggered"
+    assert trainer.params.capacity % 4096 == 0
+    n1 = int(jnp.sum(trainer.alive))
+    assert n1 > n0
+    assert np.isfinite([h["loss"] for h in hist]).all()
+    # Adam state and stats track the new capacity
+    assert trainer.adam.mu.means.shape[0] == trainer.params.capacity
+    assert trainer.stats.grad_sum.shape[0] == trainer.params.capacity
+    assert n1 <= trainer.params.capacity
+
+
+def test_default_capacity_margin_applies():
+    """capacity == 0 resolves to capacity_margin x seeds (rounded to
+    4096, floor 4096) instead of the old 2x padding."""
+    scene = make_synthetic_scene(seed=0, n_gaussians=300, n_cameras=2,
+                                 width=64, height=48,
+                                 pair_capacity=1 << 14)
+    pts, cols = scene.seed_points(jax.random.PRNGKey(1), noise=0.03)
+    big_pts = np.tile(pts, (40, 1))
+    big_cols = np.tile(cols, (40, 1))
+    trainer = Trainer(
+        data=scene, seed_points=(big_pts, big_cols),
+        model_cfg=ModelConfig(sh_degree=1, num_downscales=0),
+        train_cfg=TrainConfig(pair_capacity=1 << 14, chunk=32, tile_block=4,
+                              auto_pair_capacity=False),
+    )
+    n_seed = big_pts.shape[0]
+    expect = max(4096, int(np.ceil(1.25 * n_seed / 4096) * 4096))
+    assert trainer.params.capacity == expect
+
+
 def test_normal_loss_grads_finite_with_empty_pixels():
     """Regression: jnp.linalg.norm has a NaN gradient at exactly zero;
     empty-background pixels' composited normals used to poison whole

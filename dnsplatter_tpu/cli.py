@@ -80,11 +80,13 @@ def _load_dataset(name: str, data: Path, split: str, cfg=None):
 
 
 def cmd_train(argv):
+    from dnsplatter_tpu.baselines.runner import BASELINE_METHODS
     from dnsplatter_tpu.configs import load_method_plugins
 
     load_method_plugins()  # installed third-party methods join the choices
     p = argparse.ArgumentParser(prog="train")
-    p.add_argument("method", choices=sorted(METHOD_PRESETS))
+    p.add_argument("method", choices=sorted(METHOD_PRESETS)
+                   + sorted(BASELINE_METHODS))
     p.add_argument("dataparser")
     p.add_argument("--data", type=Path, required=True)
     p.add_argument("--output-dir", type=Path, default=Path("runs/default"))
@@ -97,6 +99,24 @@ def cmd_train(argv):
     add_dataclass_args(p, OptimConfig, "optim")
     parser_cls = _add_parser_args(p, argv)
     args = p.parse_args(argv)
+
+    if args.method in BASELINE_METHODS:
+        # Baseline models (the reference's gnerfacto/gdepthfacto/
+        # gneusfacto MethodSpecifications, eval_configs.py:29-160) train
+        # through the ray-batch runner instead of the splatter Trainer.
+        from dnsplatter_tpu.baselines.runner import train_baseline
+
+        parser_cfg = (build_dataclass(parser_cls, args, "parser",
+                                      parser_cls(data=args.data))
+                      if parser_cls else None)
+        data = _load_dataset(args.dataparser, args.data, "train",
+                             cfg=parser_cfg)
+        train_cfg = build_dataclass(TrainConfig, args, "train", TrainConfig())
+        steps = (args.max_iterations if args.max_iterations is not None
+                 else train_cfg.max_iterations)
+        train_baseline(args.method, data, num_steps=steps,
+                       out_dir=args.output_dir, seed=train_cfg.seed)
+        return
 
     base_model = model_config_for_method(args.method)
     model_cfg = build_dataclass(ModelConfig, args, "model", base_model)

@@ -66,3 +66,29 @@ def test_cli_train_eval_export(tmp_path):
     )
     assert r3.returncode == 0, r3.stderr[-800:]
     assert (tmp_path / "exports" / "Gaussians_pcd.ply").exists()
+
+
+import pytest
+
+
+@pytest.mark.parametrize("method", ["gnerfacto", "gdepthfacto", "gneusfacto"])
+def test_cli_train_baseline_methods(tmp_path, method):
+    """The reference registers gnerfacto/gdepthfacto/gneusfacto as
+    first-class trainable methods (eval_configs.py:29-160); the same
+    names must train from this CLI and write a checkpoint."""
+    _make_dataset(tmp_path)
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    out_dir = tmp_path / f"run_{method}"
+    r = subprocess.run(
+        [sys.executable, "-m", "dnsplatter_tpu.cli", "train",
+         method, "normal-nerfstudio",
+         "--data", str(tmp_path), "--output-dir", str(out_dir),
+         "--max-iterations", "8"],
+        capture_output=True, text=True, env=env, timeout=1500,
+    )
+    assert r.returncode == 0, r.stdout[-800:] + r.stderr[-800:]
+    assert (out_dir / f"baseline_{method}.npz").exists()
+    hist = json.loads(
+        (out_dir / f"baseline_{method}_history.json").read_text()
+    )
+    assert np.isfinite([h["loss"] for h in hist]).all()

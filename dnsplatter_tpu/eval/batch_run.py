@@ -80,10 +80,40 @@ class DeviceSlots:
         self.poll_s = poll_s
         root.mkdir(parents=True, exist_ok=True)
 
+    def _try_reclaim(self, i: int) -> bool:
+        """Reclaim a slot whose recorded owner PID is gone (hard crash /
+        SIGKILL leaves the lockfile behind forever otherwise). Same-host
+        only: a lockfile with an unreadable or live PID stays. Returns
+        True if the stale lock was removed."""
+        import os
+
+        path = self.root / f"slot{i}.lock"
+        try:
+            pid = int(path.read_text().strip() or "0")
+        except (OSError, ValueError):
+            return False
+        if pid <= 0:
+            return False
+        try:
+            os.kill(pid, 0)
+            return False  # owner alive
+        except ProcessLookupError:
+            pass  # owner gone: stale
+        except PermissionError:
+            return False  # alive under another uid
+        try:
+            path.unlink()
+            print(f"device-slots: reclaimed slot {i} from dead pid {pid}",
+                  flush=True)
+            return True
+        except FileNotFoundError:
+            return True  # someone else reclaimed it
+
     def acquire(self) -> int:
         import os
         import time as _time
 
+        waited = 0.0
         while True:
             for i in range(self.n):
                 try:
@@ -93,8 +123,25 @@ class DeviceSlots:
                     os.close(fd)
                     return i
                 except FileExistsError:
-                    continue
+                    if self._try_reclaim(i):
+                        continue  # retry loop picks it up next pass
             _time.sleep(self.poll_s)
+            waited += self.poll_s
+            if waited % 60.0 < self.poll_s:
+                # diagnose instead of hanging silently: name the blockers
+                holders = []
+                for i in range(self.n):
+                    try:
+                        holders.append(
+                            f"slot{i}=pid "
+                            f"{(self.root / f'slot{i}.lock').read_text().strip()}"
+                        )
+                    except OSError:
+                        holders.append(f"slot{i}=free?")
+                print(f"device-slots: waiting {waited:.0f}s for a free "
+                      f"slot under {self.root} ({', '.join(holders)}); "
+                      f"delete stale *.lock files to force-release",
+                      flush=True)
 
     def release(self, i: int) -> None:
         try:

@@ -64,7 +64,11 @@ class RasterizeConfig(NamedTuple):
             sizes (64/128) keep the (K, P) work dense on the VPU/MXU.
         tile_block: tiles processed together per scan step (XLA backend).
         pair_capacity: static capacity C of the (tile, gaussian)
-            intersection list. Pairs beyond capacity (deepest first) drop.
+            intersection list. On overflow whole Gaussians drop, in
+            expansion order: deepest first under the depth-presorted
+            schemes (graceful degradation), ORIGINAL ARRAY order under
+            "depthq" (no pre-sort exists to rank by; auto-sized
+            capacities make overflow rare — see bin_gaussians).
     """
 
     width: int
@@ -276,8 +280,14 @@ def bin_gaussians(
 
     Stages (all static shapes):
       1. depth argsort; per-Gaussian tile bbox + pair counts; Gaussians
-         whose pair range does not fit `pair_capacity` drop whole
-         (deepest first — graceful degradation under overflow).
+         whose pair range does not fit `pair_capacity` drop whole —
+         deepest first under the depth-presorted schemes (graceful
+         degradation). Under "depthq" there is no pre-sort, so the
+         drop order is ORIGINAL ARRAY order: near-camera splats can
+         drop while far ones survive. Overflow is rare by construction
+         (the Trainer auto-sizes capacity with margin) and
+         total_pairs surfaces it; rank-by-depth would need exactly the
+         N-scale depth sort depthq exists to avoid.
       2. per-TILE pair counts WITHOUT expansion: a separable
          interval-membership matmul over the tile grid (corner-scatter
          summed-area fallback) — `starts` is its exclusive cumsum.
@@ -492,7 +502,9 @@ def bin_gaussians(
                 vals.astype(jnp.float32),
                 jnp.stack([m2d_s[:, 0], m2d_s[:, 1], con_s[:, 0],
                            con_s[:, 1], con_s[:, 2], thr], axis=0),
-            ], axis=0)  # (11, N)
+            ], axis=0)  # (4-or-5 int rows + 6 geometry rows, N) — int
+            # row count tracks pack_xyw (vals.shape[0]); slicing below
+            # uses it, never a literal
             accf = rp.expand_segments(allvals, gauss_starts, c,
                                       out_dtype=jnp.float32)
             acc = accf[:vals.shape[0]].astype(jnp.int32)
@@ -576,7 +588,13 @@ def bin_gaussians(
         # rides as payload (it cannot be decoded from the key). Culled
         # and dead lanes take qdepth == qmax (> any real value), so
         # they land at each tile's tail / past the last tile exactly
-        # like the packed schemes' sentinel-gauss keys.
+        # like the packed schemes' sentinel-gauss keys. INVARIANT
+        # EXCEPTION (depthq only): culled-live lanes keep their REAL
+        # gaussian id in pair_gauss/pair_orig (the packed schemes write
+        # sentinel N) — position past the shrunken tile_counts is what
+        # marks them culled. The kernels mask via jj < cnt so this is
+        # invisible to them; any NEW consumer of pair_gauss must bound
+        # by counts, not by the sentinel.
         qd_pair = row4_pair
         bigq = jnp.uint32(qmax + 1)
         sentinel = jnp.uint32(t_pad) * bigq + jnp.uint32(qmax)

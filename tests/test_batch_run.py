@@ -85,3 +85,34 @@ def test_slot_pool_blocks_until_release(tmp_path):
     assert got.get("i") == 0
     assert time.time() - t0 >= 0.2
     slots.release(0)
+
+
+def test_stale_lock_from_dead_pid_is_reclaimed(tmp_path):
+    """A hard-crashed job (SIGKILL/OOM) leaves its lockfile behind; the
+    pool must reclaim it by PID liveness instead of hanging forever
+    (ADVICE r4)."""
+    import subprocess
+
+    # a real PID that is certainly dead: a finished child process
+    proc = subprocess.Popen([sys.executable, "-c", "pass"])
+    proc.wait()
+    dead_pid = proc.pid
+    (tmp_path / "slot0.lock").write_text(str(dead_pid))
+    slots = DeviceSlots(tmp_path, 1, poll_s=0.05)
+    t0 = time.time()
+    i = slots.acquire()
+    assert i == 0
+    assert time.time() - t0 < 5.0  # reclaimed, not stuck polling
+    # the new lock records OUR pid now
+    import os
+    assert (tmp_path / "slot0.lock").read_text().strip() == str(os.getpid())
+    slots.release(0)
+
+
+def test_live_lock_is_not_reclaimed(tmp_path):
+    """A lockfile whose recorded PID is alive must NOT be stolen."""
+    import os
+    (tmp_path / "slot0.lock").write_text(str(os.getpid()))
+    slots = DeviceSlots(tmp_path, 1, poll_s=0.05)
+    assert slots._try_reclaim(0) is False
+    assert (tmp_path / "slot0.lock").exists()

@@ -114,6 +114,10 @@ def scaling_report(n_devices: int, capacity: int = 65536,
         np.prod(x.shape) * x.dtype.itemsize
         for x in jax.tree.leaves((params, adam))
     ))
+    params_bytes = int(sum(
+        np.prod(x.shape) * x.dtype.itemsize
+        for x in jax.tree.leaves(params)
+    ))
     coll_bytes, rows = collective_breakdown(compiled.as_text())
     ma = compiled.memory_analysis()
     report = {
@@ -122,6 +126,7 @@ def scaling_report(n_devices: int, capacity: int = 65536,
         "capacity": capacity,
         "sh_degree": sh_degree,
         "global_state_bytes": state_bytes,
+        "params_bytes": params_bytes,
         "collective_bytes_per_step": coll_bytes,
         "collective_fraction_of_state": (
             coll_bytes / state_bytes if state_bytes else 0.0
@@ -134,6 +139,70 @@ def scaling_report(n_devices: int, capacity: int = 65536,
     return report
 
 
+# v5e fabric numbers (public spec): ~400 GB/s ICI per chip within a
+# host/pod slice; DCN via 100 Gbps host NIC ~ 12.5 GB/s. Overridable —
+# the projection is a model, labeled as such in the report.
+ICI_GB_S = 400.0
+DCN_GB_S = 12.5
+
+
+def project_efficiency(step_ms_1chip: float, collective_bytes: int,
+                       n_devices: int, ici_gb_s: float = ICI_GB_S) -> float:
+    """Projected per-chip rays/s efficiency of the Gaussian-sharded step
+    at n_devices chips: compute divides by n (the step is N-scale
+    dominated), collectives ride ICI serially in the worst case.
+    efficiency = ideal_time / projected_time."""
+    comm_ms = collective_bytes / (ici_gb_s * 1e9) * 1e3
+    ideal = step_ms_1chip / n_devices
+    return ideal / (ideal + comm_ms)
+
+
+def project_dp_efficiency(step_ms_1chip: float, grad_bytes: int,
+                          n_hosts: int, dcn_gb_s: float = DCN_GB_S) -> float:
+    """Projected rays/s efficiency of data-parallel training at n_hosts
+    (the reference's DDP axis; BASELINE '>=80% at N>=2 hosts'): each
+    host renders its own frames, gradients ring-allreduce over DCN
+    (2(h-1)/h x size), un-overlapped worst case."""
+    if n_hosts <= 1:
+        return 1.0
+    ring = 2.0 * (n_hosts - 1) / n_hosts * grad_bytes
+    comm_ms = ring / (dcn_gb_s * 1e9) * 1e3
+    return step_ms_1chip / (step_ms_1chip + comm_ms)
+
+
+def scaling_statement(step_ms_1chip: float, capacity: int = 65536,
+                      sh_degree: int = 3,
+                      devices_list: Tuple[int, ...] = (2, 4, 8)) -> Dict:
+    """The auditable scaling prediction (VERDICT r4 item 7): compile the
+    sharded step per mesh size, take XLA's actual collective bytes, and
+    divide by fabric bandwidths + the measured single-chip step time to
+    project rays/s efficiency — multi-chip hardware is not available in
+    this environment, so the claim is model-based and says so."""
+    out: Dict = {
+        "model": "compute/n + collectives/ICI (serial, worst case); "
+                 "dp: step + ring-allreduce(grads)/DCN",
+        "ici_gb_s": ICI_GB_S,
+        "dcn_gb_s": DCN_GB_S,
+        "step_ms_1chip": step_ms_1chip,
+    }
+    grad_bytes = None
+    for d in devices_list:
+        rep = scaling_report(d, capacity=capacity, sh_degree=sh_degree)
+        eff = project_efficiency(step_ms_1chip,
+                                 rep["collective_bytes_per_step"], d)
+        out[f"projected_scaling_{d}x"] = round(eff, 4)
+        out[f"collective_bytes_{d}x"] = rep["collective_bytes_per_step"]
+        if grad_bytes is None:
+            # dp allreduces the param-shaped gradient pytree
+            grad_bytes = rep["params_bytes"]
+    for h in (2, 4):
+        out[f"projected_dp_scaling_{h}hosts"] = round(
+            project_dp_efficiency(step_ms_1chip, grad_bytes, h), 4
+        )
+    out["dp_grad_bytes"] = grad_bytes
+    return out
+
+
 def _main() -> None:
     import argparse
     import json
@@ -144,7 +213,16 @@ def _main() -> None:
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--strategy", choices=("gspmd", "tile"),
                    default="gspmd")
+    p.add_argument("--step-ms", type=float, default=None,
+                   help="measured single-chip step time; if given, emit "
+                        "the projected-scaling statement over 2/4/8-chip "
+                        "meshes instead of a single-mesh report")
     args = p.parse_args()
+    if args.step_ms is not None:
+        print(json.dumps(scaling_statement(
+            args.step_ms, capacity=args.capacity,
+            sh_degree=args.sh_degree), indent=2))
+        return
     rep = scaling_report(args.devices, capacity=args.capacity,
                          sh_degree=args.sh_degree, strategy=args.strategy)
     rows = rep.pop("collectives")

@@ -399,7 +399,31 @@ def test_scaling_report_compiles_and_accounts(mesh8):
     rep = scaling_report(8, capacity=4096, sh_degree=1, width=64, height=64)
     assert rep["devices"] == 8
     assert rep["global_state_bytes"] > 0
+    assert rep["params_bytes"] < rep["global_state_bytes"]
     assert rep["per_device_argument_bytes"] < rep["global_state_bytes"]
     # the Gaussian-axis layout keeps collectives far below state size
     assert rep["collective_fraction_of_state"] < 0.125
     assert isinstance(rep["collectives"], list)
+
+
+def test_projected_scaling_statement(mesh8):
+    """The auditable scaling prediction (utils/scaling.py): measured
+    single-chip step time + compiled collective bytes + fabric
+    bandwidths -> projected rays/s efficiency. At the production 1M
+    step time the Gaussian-sharded layout must project >= 80%
+    efficiency through 8 chips, and dp >= 80% at 2 hosts (the BASELINE
+    target), because the collectives are O(screen payload) while the
+    step is O(capacity)."""
+    from dnsplatter_tpu.utils import scaling as S
+
+    # arithmetic sanity, no compiles
+    assert S.project_efficiency(100.0, 0, 8) == 1.0
+    assert S.project_dp_efficiency(100.0, 0, 2) == 1.0
+    assert S.project_efficiency(100.0, 10**9, 8) < 0.9
+    # end-to-end statement over a small mesh list (one compile)
+    stmt = S.scaling_statement(153.0, capacity=4096, sh_degree=1,
+                               devices_list=(8,))
+    assert 0.0 < stmt["projected_scaling_8x"] <= 1.0
+    assert stmt["projected_scaling_8x"] >= 0.8, stmt
+    assert stmt["projected_dp_scaling_2hosts"] >= 0.8, stmt
+    assert stmt["dp_grad_bytes"] > 0

@@ -347,24 +347,31 @@ class Trainer:
                 self._writers.append(TensorboardWriter(self.out_dir / "tb"))
 
     def _orbit_render(self, az_deg: float, el_deg: float,
-                      radius: float) -> Dict[str, np.ndarray]:
+                      radius: float,
+                      scale: float = 1.0) -> Dict[str, np.ndarray]:
         """Viewer callback: render the CURRENT model from a user-driven
         orbit camera (azimuth/elevation around the alive-Gaussian
         centroid) — the interactive core of the nerfstudio viewer the
         reference trains with (dn_config.py:69-70). Renders at reduced
-        resolution on the dashboard's HTTP thread; one compiled fn is
-        cached (pose is a traced argument)."""
+        resolution on the dashboard's HTTP thread; `scale` is the
+        viewer's live resolution setting (quantized there), with one
+        compiled fn cached per resolution (pose is a traced argument)."""
         from dnsplatter_tpu.models.dn_model import get_outputs
         from dnsplatter_tpu.ops.camera import Camera, look_at
 
         base_cam, _ = self.data.get(0)
-        scale = min(1.0, 320.0 / max(base_cam.width, 1))
-        cam_small = base_cam.rescaled(scale)
+        bw = max(base_cam.width, 1)
+        f = min(1.0, 320.0 / bw) * float(scale)  # relative to the 320px base
+        f = max(min(f, 1.0), 16.0 / bw)
+        cam_small = base_cam.rescaled(f)
         w, h = cam_small.width, cam_small.height
 
-        if not hasattr(self, "_orbit_fn"):
+        if not hasattr(self, "_orbit_fns"):
+            self._orbit_fns: Dict[Tuple[int, int], Callable] = {}
+        if (w, h) not in self._orbit_fns:
             cfg = self._raster_cfg(cam_small)
             cfg = cfg._replace(
+                width=w, height=h,
                 pair_capacity=-(-min(cfg.pair_capacity, 1 << 20)
                                 // cfg.chunk) * cfg.chunk
             )
@@ -378,7 +385,8 @@ class Trainer:
                 )
                 return out
 
-            self._orbit_fn = fwd
+            self._orbit_fns[(w, h)] = fwd
+        self._orbit_fn = self._orbit_fns[(w, h)]
 
         center = jnp.sum(
             self.params.means * self.alive[:, None], axis=0

@@ -42,25 +42,54 @@ td{padding:2px 10px;border:1px solid #333}
 <h3>dnsplatter_tpu live viewer</h3>
 <div><img id="rgb" src="/rgb.png"/> <img id="depth" src="/depth.png"/></div>
 <div style="margin-top:12px">
-  <b>orbit camera</b>
-  az <input type="range" id="az" min="-180" max="180" value="0"/>
-  el <input type="range" id="el" min="-80" max="80" value="20"/>
-  r <input type="range" id="r" min="5" max="80" value="30"/>
+  <b>orbit camera</b> — drag to orbit, scroll to zoom
   ch <select id="ch"><option>rgb</option><option>depth</option>
      <option>normal</option></select>
-  <div><img id="orbit"/></div>
+  res <select id="res"><option value="0.5">160px</option>
+     <option value="1.0" selected>320px</option>
+     <option value="1.5">480px</option></select>
+  <span id="pose" style="color:#888"></span>
+  <div><img id="orbit" draggable="false"
+       style="cursor:grab;touch-action:none;user-select:none"/></div>
 </div>
 <table id="stats"></table>
 <script>
+let az=0, el=20, r=3.0, inflight=false, dirty=false;
 function orbit(){
-  const az=document.getElementById('az').value,
-        el=document.getElementById('el').value,
-        r=document.getElementById('r').value/10,
-        ch=document.getElementById('ch').value;
-  document.getElementById('orbit').src =
-    `/render.png?az=${az}&el=${el}&r=${r}&ch=${ch}&t=${Date.now()}`;
+  if (inflight){ dirty=true; return; }
+  inflight=true;
+  const ch=document.getElementById('ch').value,
+        res=document.getElementById('res').value,
+        img=document.getElementById('orbit');
+  document.getElementById('pose').textContent =
+    ` az ${az.toFixed(0)} el ${el.toFixed(0)} r ${r.toFixed(1)}`;
+  img.onload = img.onerror = () => {
+    inflight=false; if (dirty){ dirty=false; orbit(); }
+  };
+  img.src = `/render.png?az=${az}&el=${el}&r=${r}&ch=${ch}`+
+            `&scale=${res}&t=${Date.now()}`;
 }
-for (const id of ['az','el','r','ch'])
+{
+  const img=document.getElementById('orbit');
+  let drag=false, lx=0, ly=0;
+  img.addEventListener('pointerdown', e=>{
+    drag=true; lx=e.clientX; ly=e.clientY;
+    img.setPointerCapture(e.pointerId); e.preventDefault();
+  });
+  img.addEventListener('pointermove', e=>{
+    if(!drag) return;
+    az=((az + (e.clientX-lx)*0.5 + 540) % 360) - 180;
+    el=Math.max(-80, Math.min(80, el + (e.clientY-ly)*0.5));
+    lx=e.clientX; ly=e.clientY; orbit();
+  });
+  img.addEventListener('pointerup', ()=>{ drag=false; });
+  img.addEventListener('wheel', e=>{
+    e.preventDefault();
+    r=Math.max(0.5, Math.min(80, r*Math.exp(e.deltaY*0.001)));
+    orbit();
+  }, {passive:false});
+}
+for (const id of ['ch','res'])
   document.getElementById(id).addEventListener('change', orbit);
 orbit();
 async function tick(){
@@ -91,15 +120,23 @@ class ViewerState:
         self._render_cache: tuple = (None, None)  # (key, images dict)
 
     def render_pose(self, az: float, el: float, radius: float,
-                    channel: str) -> Optional[bytes]:
+                    channel: str, scale: float = 1.0) -> Optional[bytes]:
         """Render the scene from a user-supplied orbit pose (cached per
-        pose so switching channels doesn't re-render)."""
+        pose so switching channels doesn't re-render). `scale` is the
+        live resolution setting (quantized to a few steps so each step
+        compiles at most one render fn); render fns that predate the
+        setting are called without it."""
         if self.render_fn is None:
             return None
-        key = (round(az, 2), round(el, 2), round(radius, 3))
+        # quantize: one compiled fn per step, never a compile per drag
+        scale = min((0.5, 1.0, 1.5), key=lambda s: abs(s - scale))
+        key = (round(az, 2), round(el, 2), round(radius, 3), scale)
         with self.render_lock:
             if self._render_cache[0] != key:
-                imgs = self.render_fn(az, el, radius)
+                try:
+                    imgs = self.render_fn(az, el, radius, scale=scale)
+                except TypeError:
+                    imgs = self.render_fn(az, el, radius)
                 self._render_cache = (key, imgs)
             imgs = self._render_cache[1]
         arr = imgs.get(channel)
@@ -174,6 +211,7 @@ class Viewer:
                         body = state.render_pose(
                             fget("az", 0.0), fget("el", 20.0),
                             fget("r", 3.0), ch,
+                            scale=fget("scale", 1.0),
                         )
                     except Exception:
                         body = None

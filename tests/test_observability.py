@@ -112,6 +112,15 @@ def test_trainer_writers_integration(tmp_path):
     pose_b_depth = urllib.request.urlopen(
         f"{base}/render.png?az=120&el=-10&r=3&ch=depth").read()
     assert pose_b_depth[:8] == b"\x89PNG\r\n\x1a\n"
+    # live resolution setting: the half-res render is a smaller PNG of
+    # the same pose (one compiled fn per quantized scale step)
+    pose_b_small = urllib.request.urlopen(
+        f"{base}/render.png?az=120&el=-10&r=3&ch=rgb&scale=0.5").read()
+    assert pose_b_small[:8] == b"\x89PNG\r\n\x1a\n"
+    import struct
+    def png_w(b):
+        return struct.unpack(">I", b[16:20])[0]
+    assert png_w(pose_b_small) < png_w(pose_b)
     tr.viewer.close()
 
 

@@ -72,7 +72,8 @@ ITERS_1M = 2
 
 def build(backend: str, n_gauss=N_GAUSS, width=WIDTH, height=HEIGHT,
           capacity=PAIR_CAPACITY, grad_outputs=False, scale_shift=0.0,
-          inner_frames=INNER_FRAMES, sort_scheme="depthq"):
+          inner_frames=INNER_FRAMES, sort_scheme="depthq",
+          compact_frac=0.37):
     from dnsplatter_tpu.data.synthetic import make_gt_gaussians, ring_cameras
     from dnsplatter_tpu.ops.projection import project_gaussians
     from dnsplatter_tpu.ops.rasterize import RasterizeConfig, rasterize
@@ -92,6 +93,13 @@ def build(backend: str, n_gauss=N_GAUSS, width=WIDTH, height=HEIGHT,
         # rel 7.5e-6. The parity check runs both backends under the
         # same scheme.
         sort_scheme=sort_scheme,
+        # Live-window compaction of the backward reduction (r5): drops
+        # the ~67-89% dead slab windows before the reduction sort.
+        # Measured-best static budgets per scale (perf/tpu_r5_probe3.py;
+        # live fractions 0.328 @100k, 0.112 @1M): -1.9 ms/frame @100k,
+        # -37.7 @1M vs the legacy merge+boundary-reduce path, bitwise-
+        # identical gradients, runtime fallback on budget overflow.
+        compact_frac=compact_frac,
     )
     viewmat = cam.viewmat()
     fx, fy, cx, cy = (float(cam.fx), float(cam.fy), float(cam.cx),
@@ -259,7 +267,7 @@ def main() -> None:
         mpix_1m, backend_1m = measure(
             backend, n_gauss=N_GAUSS_1M, capacity=PAIR_CAPACITY_1M,
             scale_shift=SCALE_SHIFT_1M, inner_frames=INNER_FRAMES_1M,
-            iters=ITERS_1M, sort_scheme="depthq",
+            iters=ITERS_1M, sort_scheme="depthq", compact_frac=0.2,
         )
         train_ms, train_cap, train_err = measure_train_1m()
 

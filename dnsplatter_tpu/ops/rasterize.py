@@ -171,7 +171,14 @@ class RasterizeConfig(NamedTuple):
     #             exceed the static budget.
     #   1.0     — bykey path without window dropping (stage append +
     #             merge elimination only).
-    compact_frac: float = 0.0
+    # Measured (perf/tpu_r5_probe{,3}.py, v5e): live fractions 0.328
+    # (N=100k bench scene) / 0.112 (N=1M); full fwd+bwd -1.9 ms at
+    # frac 0.37 @100k and -37.7 ms (132.3 -> 94.6, -28%) at frac 0.2
+    # @1M; gradients bit-identical to the legacy path at every frac;
+    # worst case (budget exceeded at runtime) is the uncompacted bykey
+    # fallback at +3 ms vs legacy. Default 0.375 fits both measured
+    # scenes; the bench pins the per-scale measured-best values.
+    compact_frac: float = 0.375
 
     @property
     def tiles_x(self) -> int:

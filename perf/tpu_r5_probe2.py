@@ -106,13 +106,16 @@ def make_rowdma_kernel(rows_per_prog: int, depth: int):
 
         acc = jax.lax.fori_loop(0, rows_per_prog, body,
                                 jnp.zeros((), jnp.float32))
-        out_ref[0, 0] = acc
+        out_ref[0] = jnp.full((8, 128), acc, jnp.float32)
 
     return kernel
 
 
 R_TOTAL = 1 << 16  # 65k rows is enough to time issue rate
-tbl = jax.random.normal(jax.random.PRNGKey(1), (N, 16))
+# Mosaic HBM slices must be 128-lane aligned: row DMAs go per
+# 128-lane row (512 B) — still measures the per-DMA issue cost,
+# which is what bounds a kernel-side gather.
+tbl = jax.random.normal(jax.random.PRNGKey(1), (N, 128))
 idx_small = jax.random.randint(jax.random.PRNGKey(2), (R_TOTAL,), 0, N)
 
 for rows_per_prog, depth in ((512, 2), (512, 8), (2048, 8), (2048, 16)):
@@ -126,14 +129,14 @@ for rows_per_prog, depth in ((512, 2), (512, 8), (2048, 8), (2048, 16)):
                 num_scalar_prefetch=1,
                 grid=(nprog,),
                 in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-                out_specs=[pl.BlockSpec((1, 128), lambda p, s: (p, 0),
+                out_specs=[pl.BlockSpec((1, 8, 128), lambda p, s: (p, 0, 0),
                                         memory_space=pltpu.VMEM)],
                 scratch_shapes=[
-                    pltpu.VMEM((depth, 16), jnp.float32),
+                    pltpu.VMEM((depth, 128), jnp.float32),
                     pltpu.SemaphoreType.DMA((depth,)),
                 ],
             ),
-            out_shape=[jax.ShapeDtypeStruct((nprog, 128), jnp.float32)],
+            out_shape=[jax.ShapeDtypeStruct((nprog, 8, 128), jnp.float32)],
         )((idx_small + seed) % N, tbl)[0]
         return jnp.sum(out)
 

@@ -385,8 +385,14 @@ def _chunk_geometry(pay, px, py, jj, cnt):
     return alpha, hit, dx, dy, sigma, ealpha, (ca, cb, cc, op)
 
 
+FWD_DMA_DEPTH = 4  # outstanding chunk DMAs; the serial wait chain at
+# depth 2 stalls ~0.1 us/visit on HBM latency (perf/tpu_r5_probe6.py:
+# null-skeleton full sweep 12.4 -> 9.0 -> 8.4 ms at depth 2/4/8)
+
+
 def _make_fwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
     p = tile * tile
+    depth = FWD_DMA_DEPTH
 
     def kernel(starts_ref, counts_ref, payload_hbm, out_ref, tfin_ref,
                last_ref, pay_vmem, sems):
@@ -416,17 +422,24 @@ def _make_fwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
                 sems.at[slot],
             )
 
-        @pl.when(nchunks > 0)
-        def _():
-            dma(0, 0).start()
+        # Fill the pipeline: chunks [0, min(depth-1, nchunks)) in
+        # flight (depth-1 outstanding on depth slots). Invariant before
+        # body(ci): chunks [ci, min(ci + depth - 1, nchunks)) are in
+        # flight; body starts ci + depth - 1 — whose slot is the one
+        # consumed at iteration ci - 1, so the start never races the
+        # current chunk's reads — then waits ci.
+        for i in range(depth - 1):
+            @pl.when(i < nchunks)
+            def _(i=i):
+                dma(i % depth, i).start()
 
         def body(ci, carry):
             t_run, out, done, last = carry
-            slot = ci % 2
+            slot = ci % depth
 
-            @pl.when(ci + 1 < nchunks)
+            @pl.when(ci + depth - 1 < nchunks)
             def _():
-                dma((ci + 1) % 2, ci + 1).start()
+                dma((ci + depth - 1) % depth, ci + depth - 1).start()
 
             dma(slot, ci).wait()
             pay = pay_vmem[slot]  # (PW, K)
@@ -495,11 +508,14 @@ def _make_fwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int):
             cond, wbody, (jnp.zeros((), jnp.int32), init)
         )
 
-        # Early exit leaves the last prefetch (chunk ci_final) in flight;
-        # drain its semaphore or the next program's wait fires early.
-        @pl.when((ci_final < nchunks) & (ci_final > 0))
-        def _():
-            dma(ci_final % 2, ci_final).wait()
+        # Early exit leaves up to depth-1 prefetches (chunks [ci_final,
+        # min(ci_final + depth - 1, nchunks))) in flight; drain their
+        # semaphores or the next program's waits fire early.
+        for j in range(depth - 1):
+            @pl.when(ci_final + j < jnp.minimum(nchunks,
+                                                ci_final + depth - 1))
+            def _(j=j):
+                dma((ci_final + j) % depth, ci_final + j).wait()
 
         out_ref[0] = out
         tfin_ref[0] = t_run.reshape(1, p)
@@ -534,8 +550,9 @@ def forward_tiles(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, payload.shape[0], chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((FWD_DMA_DEPTH, payload.shape[0], chunk),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((FWD_DMA_DEPTH,)),
         ],
     )
     return pl.pallas_call(
@@ -1114,18 +1131,27 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
         nch_ref[0] = jnp.full((1, 128), nch_eff, jnp.int32)
         stage_ref[0] = jnp.zeros_like(stage_ref[0])  # no-contributor tiles
 
-        @pl.when(nch_eff > 0)
-        def _():
-            dma_in(0, nch_eff - 1).start()
+        # Input pipeline depth FWD_DMA_DEPTH (see _make_fwd_kernel): the
+        # reverse replay fills chunks [nch_eff-1, nch_eff-depth+1] and
+        # each iteration starts i + depth - 1 (its slot was consumed at
+        # iteration i - 1) before waiting i. Outputs keep their own
+        # 2-slot protocol (oslot).
+        depth = FWD_DMA_DEPTH
+        for j in range(depth - 1):
+            @pl.when(j < nch_eff)
+            def _(j=j):
+                dma_in(j % depth, nch_eff - 1 - j).start()
 
         def body(i, carry):
             t_back, sacc = carry
             ci = nch_eff - 1 - i
-            slot = i % 2
+            slot = i % depth
+            oslot = i % 2
 
-            @pl.when(i + 1 < nch_eff)
+            @pl.when(i + depth - 1 < nch_eff)
             def _():
-                dma_in((i + 1) % 2, ci - 1).start()
+                dma_in((i + depth - 1) % depth,
+                       nch_eff - 1 - (i + depth - 1)).start()
 
             # Slab writes are double-buffered: before reusing this slot's
             # grad_vmem, retire the write issued two iterations ago (for
@@ -1133,7 +1159,7 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
             # current chunk's compute instead of stalling every step.
             @pl.when(i >= 2)
             def _():
-                dma_out(slot, ci + 2).wait()
+                dma_out(oslot, ci + 2).wait()
 
             dma_in(slot, ci).wait()
             pay = pay_vmem[slot]
@@ -1216,17 +1242,17 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
                     hi = _rne_bf16_bits(rows[2 * ri])
                     lo = _rne_bf16_bits(rows[2 * ri + 1])
                     word = (hi << 16) | (lo & 0xFFFF)
-                    grad_vmem[slot, ri:ri + 1] = jnp.where(owned, word, 0)
+                    grad_vmem[oslot, ri:ri + 1] = jnp.where(owned, word, 0)
                 for z in range(len(rows) // 2, 8):
-                    grad_vmem[slot, z:z + 1] = jnp.zeros((1, k), jnp.int32)
+                    grad_vmem[oslot, z:z + 1] = jnp.zeros((1, k), jnp.int32)
             else:
                 for ri, row in enumerate(rows):
-                    grad_vmem[slot, ri:ri + 1] = jnp.where(owned, row, 0.0)
+                    grad_vmem[oslot, ri:ri + 1] = jnp.where(owned, row, 0.0)
                 for z in range(6 + n_feats, GW - 2):
-                    grad_vmem[slot, z:z + 1] = jnp.zeros((1, k), jnp.float32)
-                grad_vmem[slot, GW - 2:GW - 1] = jnp.where(
+                    grad_vmem[oslot, z:z + 1] = jnp.zeros((1, k), jnp.float32)
+                grad_vmem[oslot, GW - 2:GW - 1] = jnp.where(
                     owned, jnp.abs(g_mx), 0.0)
-                grad_vmem[slot, GW - 1:GW] = jnp.where(
+                grad_vmem[oslot, GW - 1:GW] = jnp.where(
                     owned, jnp.abs(g_my), 0.0)
 
             # Head chunk (ci == 0) is staged per-tile (its window may
@@ -1234,11 +1260,11 @@ def _make_bwd_kernel(n_feats: int, k: int, tile: int, tiles_x: int,
             # stream straight to the slab, double-buffered.
             @pl.when(ci > 0)
             def _():
-                dma_out(slot, ci).start()
+                dma_out(oslot, ci).start()
 
             @pl.when(ci == 0)
             def _():
-                stage_ref[0] = grad_vmem[slot]
+                stage_ref[0] = grad_vmem[oslot]
 
             t_back = t_back * jnp.exp(jnp.sum(lr, axis=1, keepdims=True))
             sacc = sacc + jnp.sum(wfg, axis=1, keepdims=True)
@@ -1317,10 +1343,11 @@ def backward_tiles(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, payload.shape[0], chunk), jnp.float32),
+            pltpu.VMEM((FWD_DMA_DEPTH, payload.shape[0], chunk),
+                       jnp.float32),
             pltpu.VMEM((2, 8, chunk), jnp.int32) if pack_grads
             else pltpu.VMEM((2, GW, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((FWD_DMA_DEPTH,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

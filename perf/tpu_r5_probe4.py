@@ -125,11 +125,12 @@ def setup(n, scale_shift, capacity, frac):
             [p.means2d, p.conics, opm[:, None], allf], axis=-1)
         binned = R.bin_gaussians(cfg, p.means2d, p.depths, p.radii_xy,
                                  validf, conics=p.conics, opacities=opac)
-        pw = 6 + 8
+        pw = fields_s.shape[1]  # 6 + F
+        pw_pad = -(-pw // 8) * 8
         fields = jnp.concatenate(
-            [fields_s[:, :6 + 8], jnp.zeros((1, 6 + 8), jnp.float32)])
+            [fields_s, jnp.zeros((1, pw), jnp.float32)])
         rows = fields[binned.pair_gauss]
-        payload = jnp.pad(rows, ((0, 0), (0, pw - rows.shape[1]))).T
+        payload = jnp.pad(rows, ((0, 0), (0, pw_pad - pw))).T
         return payload, binned.starts, binned.counts
 
     payload, starts, counts = build(params.means)
@@ -146,17 +147,17 @@ for label, n, ss, cap, frac in (
     t_pad = cfg.n_tiles_padded
     f = 7
 
-    def fwd_full(seed):
+    def fwd_full(seed, payload, starts, counts):
         out, tfin, last = rp.forward_tiles(
             payload + seed * 0.0, starts, counts, t_pad, f, 16,
             cfg.tiles_x, 128)
         return jnp.sum(tfin)
 
-    timed(f"{label} fwd_full", rep(fwd_full))
+    timed(f"{label} fwd_full", rep(fwd_full), payload, starts, counts)
 
     nullk = make_null_fwd(128, 16, cfg.tiles_x, f)
 
-    def fwd_null(seed):
+    def fwd_null(seed, payload, starts, counts):
         (out,) = pl.pallas_call(
             nullk,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -175,4 +176,4 @@ for label, n, ss, cap, frac in (
         )(starts, counts, payload + seed * 0.0)
         return jnp.sum(out[:, 0, 0])
 
-    timed(f"{label} fwd_null", rep(fwd_null))
+    timed(f"{label} fwd_null", rep(fwd_null), payload, starts, counts)

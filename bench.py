@@ -217,7 +217,10 @@ def measure_train_1m():
                                   pair_capacity=4_801_408,
                                   backend="auto"),
         )
-        tr.train(num_steps=20, log_every=1000)  # compile + warm
+        # compile + warm: 40 steps (4 dispatches) — one bench run read
+        # 165 ms when a straggling remote compile bled into the timed
+        # window; standalone samples are 127-131 (perf ledger r5)
+        tr.train(num_steps=40, log_every=1000)
         t0 = time.perf_counter()
         tr.train(num_steps=30, log_every=1000)
         ms = (time.perf_counter() - t0) / 30 * 1e3

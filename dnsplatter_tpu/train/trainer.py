@@ -67,6 +67,12 @@ class TrainConfig:
     # depth reorders (on-device render rel 7.5e-6). Set "auto" for the
     # exact packed/tilekey schemes (oracle-exact ordering).
     sort_scheme: str = "depthq"
+    # Live-window compaction budget for the backward gradient reduction
+    # (RasterizeConfig.compact_frac). < 0 keeps the RasterizeConfig
+    # default (0.375); tune toward the scene's measured live-window
+    # fraction for extra step time (bench scenes: 0.33 @100k, 0.11 @1M;
+    # overflowing budgets fall back at runtime, ~+3 ms, never an error).
+    compact_frac: float = -1.0
     # K sequential optimizer steps per device dispatch (lax.scan) —
     # identical math to K single steps, but amortizes per-dispatch launch
     # latency (important behind the TPU tunnel). Must divide the
@@ -456,6 +462,9 @@ class Trainer:
         backend = tc.backend
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        kw = {}
+        if tc.compact_frac >= 0.0:
+            kw["compact_frac"] = tc.compact_frac
         return RasterizeConfig(
             width=camera.width,
             height=camera.height,
@@ -467,6 +476,7 @@ class Trainer:
             pair_capacity=-(-tc.pair_capacity // tc.chunk) * tc.chunk,
             backend=backend,
             sort_scheme=tc.sort_scheme,
+            **kw,
         )
 
     def _shard_state(self) -> None:

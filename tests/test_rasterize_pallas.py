@@ -166,6 +166,55 @@ def test_n1m_decision_path_composition_matches_xla(monkeypatch, sort_scheme,
                                    atol=2e-3, err_msg=name)
 
 
+def test_reduce_segments_bykey_unit():
+    """Direct kernel test: key-equality segment reduce over a sorted
+    bf16-packed slab matches a NumPy per-key sum, including the derived
+    |field0|/|field1| absgrad rows, out-of-range keys (sentinel n,
+    zero-value padding keyed 0) contributing nothing/zeros, and gaussians
+    with no pairs reducing to zero."""
+    from dnsplatter_tpu.ops import rasterize_pallas as rp
+    from dnsplatter_tpu.ops.rasterize import _pack_bf16_2
+
+    rng = np.random.default_rng(0)
+    n = 300
+    ru = 4  # 8 bf16 fields
+    L = 2000
+    keys = np.sort(rng.integers(0, n, L)).astype(np.int32)
+    # gaussian 7 gets no pairs; some sentinel-n tails
+    keys = keys[keys != 7]
+    keys = np.concatenate([keys, np.full(40, n, np.int32)])
+    L = len(keys)
+    vals = rng.normal(size=(2 * ru, L)).astype(np.float32)
+    vals[:, keys == n] = 1e9  # sentinel lanes must never be touched
+
+    packed_rows = [
+        _pack_bf16_2(jnp.asarray(vals[2 * i]), jnp.asarray(vals[2 * i + 1]))
+        for i in range(ru)
+    ]
+    slab = jnp.stack(packed_rows + [jnp.asarray(keys)]
+                     + [jnp.zeros((L,), jnp.int32)] * (8 - ru - 1), axis=0)
+    slab = jnp.pad(slab, ((0, 0), (0, 512)))
+    blk = 256
+    n_pad = -(-n // blk) * blk
+    qs = np.minimum(np.arange(n_pad // blk + 1) * blk, n).astype(np.int32)
+    coarse = jnp.asarray(np.searchsorted(keys, qs, side="left"),
+                         jnp.int32)
+    out = np.asarray(rp.reduce_segments_bykey(slab, coarse, ru, n, blk=blk))
+    assert out.shape == (2 * ru + 2, n_pad)
+
+    # numpy reference on the bf16-rounded values
+    v16 = np.asarray(
+        jnp.asarray(vals).astype(jnp.bfloat16).astype(jnp.float32))
+    expect = np.zeros((2 * ru + 2, n), np.float32)
+    for g in range(n):
+        m = keys == g
+        expect[:2 * ru, g] = v16[:, m].sum(axis=1)
+        expect[2 * ru, g] = np.abs(v16[0, m]).sum()
+        expect[2 * ru + 1, g] = np.abs(v16[1, m]).sum()
+    np.testing.assert_allclose(out[:, :n], expect, rtol=1e-5, atol=1e-5)
+    assert np.all(out[:2 * ru, :n][:, 7] == 0.0)  # pairless gaussian
+
+
 def test_compaction_drops_no_contributing_pair():
     """Live-window compaction must be a pure re-summation: the compact
     path (dead windows dropped, stage appended, key-equality reduce)
